@@ -1,0 +1,483 @@
+"""Doc-local deterministic mention detection (gazetteer scoring).
+
+Replaces the reference's LLM mention detector with a deterministic,
+rule-based extractor. The reference's evaluated configuration is
+gazetteer-assisted (test-config.json ``useGoldstandardComponentNames:
+true``; recognizer/Prompt.java:56-85 injects the candidate dictionary
+into the prompt), so recognition reduces to dictionary matching plus
+alias/abbreviation/anaphora handling — exactly what this module does.
+
+Everything here is pure-Python over ONE document's sentence list, so it
+parallelizes embarrassingly across documents via ``applyInPandas``
+(Arrow batches of whole docs); no cross-document state exists. The
+gazetteer is compiled once on the driver and broadcast.
+
+Match rules (each mention records which rule fired):
+
+  R_EXACT   word-boundary surface match (reference DIRECT containment,
+            serialization/NamedEntityParser.java:188-204); ambiguous
+            common-word names additionally need a case-sensitive hit,
+            a "<name> component/layer/service" context, and no
+            package-path context ("logic.api").
+  R_NORM    normalized token-window match: case/hyphen/space collapsed
+            ("bbb-web" = "BBB web"), with acronym<->camel-word
+            equivalence ("BigBlueButton web" = "BBB web").
+  R_FUZZY   char-set Jaccard >= 0.90 between normalized token window
+            and normalized name (typos: "fsels" ~ "FSESL"); threshold
+            mirrors model/SoftwareArchitectureDocumentation.java:160.
+  R_STEM    inflection of the name ("re-encoding" -> "ReEncoder").
+  R_COMPOUND name embedded as the head of a longer compound token
+            ("PersistenceProvider" -> "Persistence").
+  R_ALIAS   doc-induced acronym alias ("Kurento Media Server KMS ..."
+            defines KMS -> Kurento; later bare "KMS" hits count).
+  R_HEAD    head-noun anaphora for architectural role nouns
+            ("the client" -> "HTML5 Client"), INDIRECT.
+  R_CAMEL_HEAD determinered camel head ("the UI" -> "WebUI"), INDIRECT.
+  R_PRONOUN "It ..."-initial sentence inherits the single strongly
+            focused entity of the previous sentence, INDIRECT.
+
+A match whose token span is strictly contained in a longer match of a
+different entity is suppressed ("FreeSWITCH" inside "FreeSWITCH Event
+Socket Layer" ~ FSESL).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from named_architecture_entity_recognition_spark.functions.jaccard import char_jaccard
+
+DIRECT = "DIRECT"
+INDIRECT = "INDIRECT"
+
+# Common English words that frequently appear in running prose with a
+# non-entity meaning; single-token gazetteer names equal to one of these
+# need stronger evidence (case-sensitive hit or component-ish context).
+_AMBIGUOUS_WORDS = {
+    "logic", "client", "common", "storage", "database", "cache",
+    "facade", "packaging", "model", "view", "controller", "server",
+    "service", "api", "core", "util", "web", "app", "data",
+    "test", "search", "media", "preferences", "gateway", "ui", "gui",
+    "e2e", "driver",
+}
+
+# Architectural role nouns that can stand in for a multi-token entity
+# whose head they are ("the client" -> HTML5 Client).
+_ROLE_HEADS = {"client", "server", "datastore", "database", "db", "ui", "gui"}
+
+_PRONOUN_START = re.compile(
+    r"^(it|(as such|furthermore|additionally|moreover|finally|also),?\s+it)\b[^s]",
+    re.IGNORECASE,
+)
+
+_WORD_RE = re.compile(r"[A-Za-z0-9]+")
+_STEM_SUFFIXES = ("ing", "s", "es")
+
+
+def normalize_name(s: str) -> str:
+    """Collapse to lowercase alphanumerics: 'BBB web' -> 'bbbweb'."""
+    return "".join(_WORD_RE.findall(s)).lower()
+
+
+def camel_tokens(s: str) -> list[str]:
+    """Split CamelCase / digit boundaries: 'WebUI' -> ['Web','UI']."""
+    return re.findall(r"[A-Z]+(?=[A-Z][a-z])|[A-Z][a-z]+|[A-Z]+|[a-z]+|\d+", s)
+
+
+def acronym_of(word: str) -> str:
+    """Initials of the camel parts: 'BigBlueButton' -> 'BBB'."""
+    return "".join(t[0] for t in camel_tokens(word)).upper()
+
+
+@dataclass(frozen=True)
+class MatcherConfig:
+    fuzzy_threshold: float = 0.90
+    stem_min_prefix: int = 7
+    max_window: int = 4
+    enable_head_noun: bool = True
+    enable_pronoun: bool = True
+    enable_fuzzy: bool = True
+    enable_stem: bool = True
+    enable_alias_induction: bool = True
+    ambiguous_words: frozenset = field(
+        default_factory=lambda: frozenset(_AMBIGUOUS_WORDS)
+    )
+    role_heads: frozenset = field(default_factory=lambda: frozenset(_ROLE_HEADS))
+
+
+@dataclass(frozen=True)
+class GazEntry:
+    """Precompiled per-name matching artifacts (broadcast to executors)."""
+
+    name: str
+    norm: str
+    tokens: tuple
+    is_ambiguous: bool
+    cs_regex: "re.Pattern"
+    ci_regex: "re.Pattern"
+    pkg_regex: "re.Pattern"
+    ctx_regex: "re.Pattern"  # '<name> component|layer|subsystem'
+    head: str | None
+    camel_head: str | None
+    prefix: str | None  # unique distinctive first token ('webrtc' of WebRTC-SFU)
+
+
+def _boundary_pattern(name: str) -> str:
+    esc = re.escape(name).replace(r"\ ", r"[\s\-]")
+    return r"(?<![A-Za-z0-9])" + esc + r"(?![A-Za-z0-9])"
+
+
+def compile_gazetteer(names, cfg: MatcherConfig | None = None):
+    """Compile dictionary names into broadcastable match artifacts."""
+    cfg = cfg or MatcherConfig()
+    head_counts: dict = {}
+    camel_head_counts: dict = {}
+    toks_by_name = {}
+    camel_by_name = {}
+    for name in names:
+        toks = tuple(t.lower() for t in _WORD_RE.findall(name))
+        toks_by_name[name] = toks
+        if len(toks) > 1:
+            head_counts[toks[-1]] = head_counts.get(toks[-1], 0) + 1
+        ctoks = camel_tokens(name)
+        camel_by_name[name] = ctoks
+        if len(ctoks) > 1:
+            ch = ctoks[-1].lower()
+            camel_head_counts[ch] = camel_head_counts.get(ch, 0) + 1
+    all_norms = {normalize_name(n) for n in names}
+    first_tok_counts: dict = {}
+    for name in names:
+        toks = toks_by_name[name]
+        if len(toks) > 1:
+            first_tok_counts[toks[0]] = first_tok_counts.get(toks[0], 0) + 1
+    entries = []
+    for name in names:
+        toks = toks_by_name[name]
+        norm = normalize_name(name)
+        # single common word, or a multi-word name made only of common
+        # words ("Test Driver"), needs stronger (case-sensitive) evidence
+        ambiguous = all(t in cfg.ambiguous_words for t in toks)
+        prefix = None
+        if len(toks) > 1:
+            p0 = toks[0]
+            first_word = _WORD_RE.findall(name)[0]
+            # distinctive = acronym-like or internally camel-cased
+            # ("WebRTC"), never a plain dictionary word ("Image")
+            distinctive = first_word.isupper() or len(camel_tokens(first_word)) >= 2
+            if (
+                distinctive
+                and first_tok_counts[p0] == 1
+                and len(p0) >= 4
+                and p0 not in cfg.ambiguous_words
+                and p0 not in all_norms
+                and p0 not in head_counts
+            ):
+                prefix = p0
+        head = None
+        if len(toks) > 1:
+            h = toks[-1]
+            if head_counts[h] == 1 and h not in all_norms and h in cfg.role_heads:
+                head = h
+        camel_head = None
+        ctoks = camel_by_name[name]
+        if len(ctoks) > 1 and len(toks) == 1:
+            ch = ctoks[-1].lower()
+            if (
+                camel_head_counts.get(ch, 0) == 1
+                and ch not in all_norms
+                and ch not in head_counts
+                and ch in cfg.role_heads
+            ):
+                camel_head = ch
+        entries.append(
+            GazEntry(
+                name=name,
+                norm=norm,
+                tokens=toks,
+                is_ambiguous=ambiguous,
+                cs_regex=re.compile(_boundary_pattern(name)),
+                ci_regex=re.compile(_boundary_pattern(name), re.IGNORECASE),
+                pkg_regex=re.compile(
+                    r"(\.{}|{}\.)[a-z0-9]".format(
+                        re.escape(toks[0]), re.escape(toks[-1])
+                    )
+                ),
+                ctx_regex=re.compile(
+                    _boundary_pattern(name)
+                    + r"[\s\-]+(component|layer|subsystem)",
+                    re.IGNORECASE,
+                ),
+                head=head,
+                camel_head=camel_head,
+                prefix=prefix,
+            )
+        )
+    return entries
+
+
+def _token_spans(line: str):
+    return [(m.group(0), m.start(), m.end()) for m in _WORD_RE.finditer(line)]
+
+
+def _char_to_token_range(spans, start, end):
+    toks = [i for i, (_, s, e) in enumerate(spans) if s < end and e > start]
+    return (toks[0], toks[-1]) if toks else (-1, -1)
+
+
+def _word_matches_token(word: str, tok: str) -> bool:
+    """Token equivalence incl. acronym<->camel expansion (BBB~BigBlueButton).
+
+    ``tok`` is an already-lowercased gazetteer name token.
+    """
+    wl = word.lower()
+    tl = tok.lower()
+    if wl == tl:
+        return True
+    if (
+        2 <= len(tl) <= 6
+        and len(camel_tokens(word)) >= 2
+        and acronym_of(word).lower() == tl
+    ):
+        return True
+    if word.isupper() and 2 <= len(word) <= 6 and acronym_of(tok).lower() == wl:
+        return True
+    return False
+
+
+def _surface_matches(line: str, entry: GazEntry, cfg: MatcherConfig):
+    """Yield (rule, (tok_lo, tok_hi)) matches of entry in line."""
+    spans = _token_spans(line)
+    out = []
+    if entry.is_ambiguous:
+        m = entry.ctx_regex.search(line)
+        if m:
+            out.append(("R_EXACT", _char_to_token_range(spans, m.start(), m.end())))
+        else:
+            m = entry.cs_regex.search(line)
+            if m and not entry.pkg_regex.search(line.lower()):
+                tail = line[m.end():]
+                if not re.match(r"[\s\-]+(tests?|testing)\b", tail, re.IGNORECASE):
+                    out.append(
+                        ("R_EXACT", _char_to_token_range(spans, m.start(), m.end()))
+                    )
+        return out
+    m = entry.ci_regex.search(line)
+    if m:
+        out.append(("R_EXACT", _char_to_token_range(spans, m.start(), m.end())))
+        return out
+    words = [w for w, _, _ in spans]
+
+    def dotted(i, j):
+        # window crosses a package-path '.' boundary ("test.driver")
+        for k in range(i, j):
+            gap = line[spans[k][2]:spans[k + 1][1]]
+            if "." in gap:
+                return True
+        return False
+
+    n_tok = len(entry.tokens)
+    # R_EXPAND: the name is an acronym of a multi-word window's
+    # camel-initials ("FSESL" ~ "FreeSWITCH Event Socket Layer")
+    if n_tok == 1 and entry.name.isupper() and 3 <= len(entry.norm) <= 6:
+        for i in range(len(words)):
+            for j in range(i + 1, min(i + len(entry.norm), len(words))):
+                if dotted(i, j):
+                    break
+                initials = "".join(
+                    acronym_of(w) for w in words[i : j + 1]
+                ).lower()
+                if initials == entry.norm and words[i][0].isupper():
+                    return [("R_NORM", (i, j))]
+    # R_NORM with acronym equivalence: window of tokens equivalent 1:1 or
+    # whose concatenated norm equals the name norm
+    for i in range(len(words)):
+        if n_tok > 1 and i + n_tok <= len(words) and not dotted(i, i + n_tok - 1):
+            if all(
+                _word_matches_token(words[i + k], entry.tokens[k])
+                or normalize_name(words[i + k]) == entry.tokens[k]
+                for k in range(n_tok)
+            ):
+                return [("R_NORM", (i, i + n_tok - 1))]
+        acc = ""
+        for j in range(i, min(i + cfg.max_window, len(words))):
+            acc += words[j].lower()
+            if (
+                acc == entry.norm
+                and (j > i or words[i].lower() != entry.norm)
+                and not dotted(i, j)
+            ):
+                return [("R_NORM", (i, j))]
+    for i in range(len(words)):
+        acc = ""
+        for j in range(i, min(i + cfg.max_window, len(words))):
+            if dotted(i, j):
+                break
+            acc += words[j].lower()
+            if (
+                cfg.enable_fuzzy
+                and 4 <= len(entry.norm) <= 6
+                and abs(len(acc) - len(entry.norm)) <= 1
+                and acc[0] == entry.norm[0]
+                and acc != entry.norm
+                and char_jaccard(acc, entry.norm) >= cfg.fuzzy_threshold
+            ):
+                return [("R_FUZZY", (i, j))]
+            if cfg.enable_stem and len(entry.norm) >= cfg.stem_min_prefix:
+                for k in (1, 2):
+                    stem = entry.norm[:-k]
+                    for suf in _STEM_SUFFIXES:
+                        if acc == stem + suf and acc != entry.norm:
+                            return [("R_STEM", (i, j))]
+            if (
+                i == j
+                and len(entry.norm) >= 6
+                and len(acc) > len(entry.norm) + 2
+                and acc.startswith(entry.norm)
+            ):
+                return [("R_COMPOUND", (i, j))]
+    return out
+
+
+def induce_aliases(lines, gazetteer, cfg: MatcherConfig):
+    """Scan the doc for acronym definitions tied to gazetteer entities.
+
+    Pattern: a sequence of 2-4 capitalized words W1..Wk whose initials
+    spell an all-caps token T appearing right after the sequence or in
+    parentheses, where some Wi surface-matches a gazetteer name
+    -> T becomes a doc-local alias of that entity
+    ("Kurento Media Server KMS is ..." => KMS -> Kurento).
+    """
+    aliases: dict = {}
+    defn = re.compile(
+        r"((?:[A-Z][A-Za-z0-9]*\s+){1,3}[A-Z][A-Za-z0-9]*)\s+\(?([A-Z]{2,6})\)?"
+    )
+    for line in lines:
+        for m in defn.finditer(line):
+            phrase, acro = m.group(1), m.group(2)
+            words = phrase.split()
+            if "".join(w[0] for w in words).upper() != acro:
+                continue
+            for entry in gazetteer:
+                if entry.ci_regex.search(phrase):
+                    aliases.setdefault(
+                        acro,
+                        (entry.name, re.compile(_boundary_pattern(acro))),
+                    )
+    return aliases
+
+
+def detect_mentions(lines, gazetteer, cfg: MatcherConfig | None = None):
+    """Detect component mentions in one document.
+
+    Returns [(sentence_no 1-indexed, gazetteer name, DIRECT|INDIRECT, rule)].
+    DIRECT/INDIRECT follows the reference containment semantics
+    (NamedEntityParser.java:188-204): DIRECT iff a surface form of the
+    entity occurs literally (case-insensitively); anaphoric rules emit
+    INDIRECT.
+    """
+    cfg = cfg or MatcherConfig()
+    aliases = induce_aliases(lines, gazetteer, cfg) if cfg.enable_alias_induction else {}
+    out = []
+    focus = []  # single focused entity of the previous sentence
+    focus_line = -10  # sentence that set the focus (pronoun decay = 1 line)
+    for sent_no, line in enumerate(lines, 1):
+        matches = []  # (name, ref, rule, span)
+        for entry in gazetteer:
+            for rule, span in _surface_matches(line, entry, cfg):
+                ref = DIRECT if rule in ("R_EXACT", "R_NORM") else INDIRECT
+                matches.append((entry.name, ref, rule, span))
+        # doc-induced aliases (count as DIRECT: alias containment,
+        # NamedEntityParser.java:196-200)
+        spans = _token_spans(line)
+        for acro, (name, rx) in aliases.items():
+            if any(m[0] == name for m in matches):
+                continue
+            mm = rx.search(line)
+            if mm:
+                matches.append(
+                    (name, DIRECT, "R_ALIAS", _char_to_token_range(spans, mm.start(), mm.end()))
+                )
+        # subsumption: drop matches strictly inside a longer other-entity match
+        kept = []
+        for name, ref, rule, (lo, hi) in matches:
+            inside = any(
+                o_name != name and o_lo <= lo and hi <= o_hi and (o_hi - o_lo) > (hi - lo)
+                for o_name, _, _, (o_lo, o_hi) in matches
+            )
+            if not inside:
+                kept.append((name, ref, rule, (lo, hi)))
+        matched_names = {m[0] for m in kept}
+        has_strong = any(m[2] in ("R_EXACT", "R_NORM") for m in kept)
+        # head-noun anaphora (per entity, only if that entity not already matched)
+        if cfg.enable_head_noun:
+            low = line.lower()
+            for entry in gazetteer:
+                if entry.name in matched_names:
+                    continue
+                if entry.head and re.search(
+                    # not hyphen-attached ("client-side"), not quantifier-
+                    # preceded ("each client"), not indefinite-generic
+                    # ("is a media server")
+                    r"(?<!-)(?<![a-z0-9])"
+                    + re.escape(entry.head)
+                    + r"(?![a-z0-9])(?!-)",
+                    low,
+                ) and not re.search(
+                    r"\b(each|every|all|any|per|an?)\s+(\w+\s+)?"
+                    + re.escape(entry.head)
+                    + r"(?![a-z0-9])",
+                    low,
+                ):
+                    kept.append((entry.name, INDIRECT, "R_HEAD", (-1, -1)))
+                    matched_names.add(entry.name)
+                elif entry.camel_head and re.search(
+                    r"(?i)\bthe\s+" + re.escape(entry.camel_head) + r"(?![A-Za-z0-9])",
+                    line,
+                ):
+                    kept.append((entry.name, INDIRECT, "R_CAMEL_HEAD", (-1, -1)))
+                    matched_names.add(entry.name)
+        # distinctive-prefix anaphora ("WebRTC" -> WebRTC-SFU), only when no
+        # entity matched strongly in this sentence
+        if not has_strong:
+            for entry in gazetteer:
+                if entry.prefix and entry.name not in matched_names:
+                    if re.search(
+                        r"(?i)(?<![a-z0-9])" + re.escape(entry.prefix) + r"(?![a-z0-9])",
+                        line,
+                    ):
+                        kept.append((entry.name, INDIRECT, "R_PREFIX", (-1, -1)))
+                        matched_names.add(entry.name)
+        # pronoun inheritance ("It <verb>s ..." but not copular "It is ...",
+        # which is dominated by generic commentary in the benchmark prose)
+        if (
+            not kept
+            and cfg.enable_pronoun
+            and len(focus) == 1
+            and sent_no - focus_line == 1
+        ):
+            stripped = line.strip()
+            if _PRONOUN_START.match(stripped) and not re.match(
+                r"(?i)^it\s+is\b", stripped
+            ):
+                kept.append((focus[0], INDIRECT, "R_PRONOUN", (-1, -1)))
+        for name, ref, rule, _ in kept:
+            out.append((sent_no, name, ref, rule))
+        if kept:
+            # focus = the subject-position strong mention of this sentence
+            strong = sorted(
+                (
+                    (lo if lo >= 0 else 0, n)
+                    for n, _, r, (lo, _hi) in kept
+                    if r in ("R_EXACT", "R_NORM", "R_PRONOUN")
+                ),
+            )
+            if len({n for _, n in strong}) == 1:
+                focus = [strong[0][1]]
+                focus_line = sent_no
+            elif strong and strong[0][0] <= 2:
+                focus = [strong[0][1]]
+                focus_line = sent_no
+            else:
+                focus = []
+    return out
