@@ -1,0 +1,117 @@
+"""Connected components over alias edges (J3 general form).
+
+The reference unifies entity names by pairwise alias-pool intersection
+with in-place renames (test/.../TestProjectEvaluator.java:209-239) —
+O(n^2) single-machine. The scalable generalization is connected
+components over the bipartite graph (entity_key)---(alias_name): two
+entities sharing any pool name land in one component, and the
+component's canonical label (min name) plays the role of the
+reference's unified name.
+
+Algorithm: alternating min-label propagation (a.k.a. large-star /
+small-star simplification) over an edge list, converging in
+O(log(diameter)) Spark jobs. Alias chains are short (name variants of
+one concept), so 2-4 iterations suffice; each iteration is two
+hash-agg shuffles. Deterministic: labels are strings, min is total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 10, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """edges(src string, dst string) -> (node string, component string).
+
+    component = lexicographic min node id reachable. Undirected.
+    """
+    spark = edges.sparkSession
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .dropDuplicates(["src", "dst"])
+    )
+    # label(node) = min(node, min neighbor label); iterate to fixpoint
+    labels = (
+        sym.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
+        .select(F.col("src").alias("node"), "label")
+    )
+    labels = labels.withColumn("label", F.least("node", "label"))
+    for i in range(max_iter):
+        # propagate: new_label(node) = min over neighbors of their label
+        neigh = (
+            sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+            .select(F.col("src").alias("node"), "nlabel")
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "label", F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # label-pointer jumping: label -> label-of-label (path halving)
+        ptr = labels.select(
+            F.col("node").alias("label"), F.col("label").alias("plabel")
+        )
+        new_labels = (
+            new_labels.join(ptr, "label", "left")
+            .select(
+                "node",
+                F.least("label", F.coalesce("plabel", F.col("label"))).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if checkpoint_dir:
+            # truncate lineage so iterative plans stay small
+            labels = labels.localCheckpoint(eager=True)
+        else:
+            labels = labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def canonicalize_aliases(entities: DataFrame) -> DataFrame:
+    """Unify entities (within doc) whose name pools intersect.
+
+    Name pool = {lower(name)} U lower(aliases) (reference J3). Returns
+    the input with an added ``component`` column: the canonical
+    (min) '<doc_id>#<pool name>' of the alias component, suitable as a
+    grouping key for merged entities.
+    """
+    with_key = entities.withColumn(
+        "node", F.concat_ws("#", "doc_id", F.lower("name"))
+    )
+    pool = with_key.select(
+        F.col("node").alias("src"),
+        "doc_id",
+        F.explode(
+            F.array_union(
+                F.array(F.lower("name")),
+                F.transform("alternative_names", F.lower),
+            )
+        ).alias("alias"),
+    ).select(
+        "src", F.concat_ws("#", "doc_id", F.col("alias")).alias("dst")
+    )
+    comp = connected_components(pool)
+    return with_key.join(comp, "node", "left").withColumn(
+        "component", F.coalesce("component", F.col("node"))
+    ).drop("node")

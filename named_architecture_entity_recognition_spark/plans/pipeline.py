@@ -1,0 +1,57 @@
+"""End-to-end recognition pipeline (reference E1/E2 lifecycle, SURVEY §3).
+
+    documents --(validate/quarantine)--> valid docs
+              --(mapInPandas mention detection, gazetteer-assisted)--> mentions
+              --(groupBy assemble + dedup)--> entities
+              --(triple materialization)--> triples
+
+Shuffle inventory at 10^12-doc scale:
+  * quarantine verdict: 1 hash agg on doc_id (map-side combined)
+  * mention detection: ZERO shuffles (mapInPandas, partition-preserving)
+  * entity assembly: 1 hash agg on (doc_id, name)
+  * triples: narrow
+The gazetteer rides in the detection closure (broadcast semantics);
+no similarity work ever crosses doc boundaries.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from named_architecture_entity_recognition_spark.operators.entities import (
+    assemble_entities,
+    dedup_entities,
+)
+from named_architecture_entity_recognition_spark.operators.matching import MatcherConfig
+from named_architecture_entity_recognition_spark.operators.mentions import (
+    detect_mentions_df,
+)
+from named_architecture_entity_recognition_spark.operators.sentences import (
+    quarantine_split,
+)
+from named_architecture_entity_recognition_spark.operators.triples import to_triples
+
+
+@dataclass
+class RecognizerPipeline:
+    """Spark-side equivalent of the reference's NamedEntityRecognizer
+    (recognizer/NamedEntityRecognizer.java:57-81), gazetteer-assisted
+    mode (ibid. :95-98)."""
+
+    #: one corpus-wide list, or {doc_id: [names]} per-doc dictionaries
+    gazetteer_names: object
+    cfg: MatcherConfig = field(default_factory=MatcherConfig)
+    validate: bool = True
+
+    def mentions(self, docs: DataFrame) -> DataFrame:
+        if self.validate:
+            docs, _bad = quarantine_split(docs)
+        return detect_mentions_df(docs, self.gazetteer_names, self.cfg)
+
+    def entities(self, docs: DataFrame) -> DataFrame:
+        return dedup_entities(assemble_entities(self.mentions(docs)))
+
+    def triples(self, docs: DataFrame) -> DataFrame:
+        return to_triples(self.entities(docs))

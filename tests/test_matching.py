@@ -1,0 +1,125 @@
+"""Unit tests for the doc-local mention matcher rules."""
+
+from named_architecture_entity_recognition_spark.operators.matching import (
+    MatcherConfig,
+    acronym_of,
+    camel_tokens,
+    compile_gazetteer,
+    detect_mentions,
+    normalize_name,
+)
+
+CFG = MatcherConfig()
+
+
+def detect(lines, names):
+    gaz = compile_gazetteer(names, CFG)
+    return detect_mentions(lines, gaz, CFG)
+
+
+def test_normalize_and_camel():
+    assert normalize_name("BBB web") == "bbbweb"
+    assert camel_tokens("WebUI") == ["Web", "UI"]
+    assert acronym_of("BigBlueButton") == "BBB"
+
+
+def test_exact_match_direct():
+    out = detect(["The WebUI talks to the Registry."], ["WebUI", "Registry"])
+    assert (1, "WebUI", "DIRECT", "R_EXACT") in out
+    assert (1, "Registry", "DIRECT", "R_EXACT") in out
+
+
+def test_hyphen_space_normalization():
+    out = detect(["Traffic is split by bbb-web instances."], ["BBB web"])
+    assert out and out[0][1] == "BBB web"
+
+
+def test_acronym_expansion_of_camel_word():
+    out = detect(["BigBlueButton web application handles it."], ["BBB web"])
+    assert out and out[0][1] == "BBB web" and out[0][2] == "DIRECT"
+
+
+def test_ambiguous_word_needs_case_or_context():
+    # lowercase common word in prose: no match
+    assert detect(["The main logic of the app is simple."], ["Logic"]) == []
+    # case-sensitive hit: match
+    assert detect(["The Logic component is central."], ["Logic"]) != []
+    # lowercase + 'component' context: match
+    assert detect(["the logic component does X."], ["Logic"]) != []
+
+
+def test_package_path_is_not_a_mention():
+    assert detect(["Package overview contains logic.api, logic.core."], ["Logic"]) == []
+    assert detect(["Overview contains test.driver and test.cases."], ["Test Driver"]) == []
+
+
+def test_fuzzy_typo_acronym():
+    out = detect(["Communication uses the fsels layer."], ["FSESL"])
+    assert out and out[0][1] == "FSESL"
+
+
+def test_pronoun_inheritance_single_focus():
+    out = detect(
+        [
+            "The Persistence service provides access to data.",
+            "It maps the relational entities to JSON objects.",
+        ],
+        ["Persistence"],
+    )
+    assert (2, "Persistence", "INDIRECT", "R_PRONOUN") in out
+
+
+def test_pronoun_not_for_it_is():
+    out = detect(
+        [
+            "The Recommender is used to generate recommendations.",
+            "It is trained using all existing orders.",
+        ],
+        ["Recommender"],
+    )
+    assert all(m[0] != 2 for m in out)
+
+
+def test_head_noun_role_word():
+    out = detect(
+        ["Updates are pushed to the client side."],
+        ["HTML5 Client", "HTML5 Server"],
+    )
+    assert (1, "HTML5 Client", "INDIRECT", "R_HEAD") in out
+
+
+def test_alias_induction_acronym_definition():
+    out = detect(
+        [
+            "Kurento Media Server KMS is a media server.",
+            "KMS is responsible for streaming of webcams.",
+        ],
+        ["Kurento"],
+    )
+    assert (2, "Kurento", "DIRECT", "R_ALIAS") in out
+
+
+def test_subsumption_suppresses_inner_entity():
+    out = detect(
+        ["Messages go through the FreeSWITCH Event Socket Layer here."],
+        ["FreeSWITCH", "FSESL"],
+    )
+    names = {m[1] for m in out}
+    assert names == {"FSESL"}
+
+
+def test_compound_token():
+    out = detect(["Data comes from the PersistenceProvider module."], ["Persistence"])
+    assert out and out[0][1] == "Persistence"
+
+
+def test_direct_vs_indirect_flags():
+    out = detect(
+        [
+            "The WebUI service renders pages.",
+            "It renders the storefront for users.",
+        ],
+        ["WebUI"],
+    )
+    refs = {m[0]: m[2] for m in out}
+    assert refs[1] == "DIRECT" and refs[2] == "INDIRECT"
