@@ -1,0 +1,170 @@
+"""Training-data deduplication operators over a flat documents table
+(doc_id, text): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Portability rule: all hashing is md5-based (identical in Spark SQL and
+DuckDB), so every operator has an exact DuckDB oracle and results are
+engine-stable. Everything below is whole-stage-codegen'd Catalyst
+expressions — no Python in any hot path.
+
+Scale notes (100 TB): shingling/minhash are narrow per-row maps; the
+only shuffles are the final groupBy/join on band/bucket keys, which is
+exactly the LSH design goal (candidate pairs only, never all-pairs).
+Hot buckets (boilerplate text) are bounded by banding width; AQE skew
+join handles residual imbalance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _words(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def shingles(col, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct), 1-indexed slices."""
+    w = _words(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        )
+    )
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: (text_hash, n_dups, keep_id=min doc_id)."""
+    return (
+        docs.select(
+            F.md5(F.trim(F.lower(F.col(text_col)))).alias("text_hash"),
+            F.col("doc_id"),
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
+
+
+def minhash_signature(col, n_hashes: int = 8, shingle_n: int = 3) -> Column:
+    """MinHash signature as array<string>: per seed, min md5(seed||shingle).
+
+    min over lexicographic md5 hex = a valid permutation-min family;
+    md5 keeps Spark/DuckDB results byte-identical.
+    """
+    sh = shingles(col, shingle_n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda seed: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(seed.cast("string"), s)))
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    signature split into ``bands`` bands of n_hashes/bands rows; docs
+    sharing any full band collide. Output (doc_a, doc_b) with doc_a <
+    doc_b, distinct. Shuffle = one groupBy-free self-equi-join on
+    (band_idx, band_key).
+    """
+    rows_per_band = n_hashes // bands
+    sig = docs.select(
+        "doc_id", minhash_signature(F.col(text_col), n_hashes, shingle_n).alias("sig")
+    )
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.concat_ws(
+                    "|", F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .dropDuplicates()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Verify candidate pairs with exact n-gram Jaccard >= threshold.
+
+    candidates: (doc_a, doc_b). Joins the shingle sets back (two equi
+    joins) and computes |A∩B|/|A∪B| with array built-ins.
+    """
+    sh = docs.select(
+        "doc_id", shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    out = (
+        candidates.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("sh", "sh_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("sh", "sh_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def simhash64(col, shingle_n: int = 2) -> Column:
+    """64-bit SimHash from shingle md5s, as a bit-string column.
+
+    For each of 64 bit positions, the bit is 1 iff the majority of
+    shingle hashes have that bit set. Bits come from the first 16 hex
+    chars of md5 (64 bits); pure integer expressions.
+    """
+    sh = shingles(col, shingle_n)
+    h = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    )
+    n = F.size(sh)
+    # 32 of the 60 bits (15 hex chars) keeps the expression tree tractable
+    bits = [
+        (
+            F.aggregate(
+                h,
+                F.lit(0),
+                lambda acc, v: acc
+                + F.shiftright(v, i).bitwiseAND(F.lit(1)).cast("int"),
+            )
+            * 2
+            >= n
+        ).cast("int")
+        for i in range(32)
+    ]
+    return F.concat_ws("", *[b.cast("string") for b in bits])

@@ -1,0 +1,125 @@
+"""Deterministic distributed generator for interleaved documents.
+
+Builds the BASELINE.json input_hint table shape at arbitrary scale with
+NO driver-side row materialization: ``spark.range(n_docs)`` fans out and
+each doc is generated inside ``mapInPandas`` from a RNG seeded by
+``(seed, doc index)`` — the corpus is identical regardless of
+parallelism/partitioning, which is what makes the N-vs-4N scaling
+comparison apples-to-apples.
+
+Knobs mirror FIXTURES.md §7: sentences/doc 12..197 (the benchmark SAD
+range), media_ratio, hot-term skew (top gazetteer name appears in
+``skew_frac`` of mention-bearing sentences), alias/abbreviation chains
+and pronoun sentences to exercise every matcher rule.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from named_architecture_entity_recognition_spark.schema import DOCUMENTS
+
+_FILLER = (
+    "the system processes requests quickly and reliably",
+    "data flows through the configured channels",
+    "messages are routed according to the policy",
+    "the deployment uses containers on the cluster",
+    "responses are cached for later reuse",
+    "users interact with the platform through the api",
+    "events are persisted in the durable store",
+    "load is balanced across the running instances",
+)
+
+_VERBS = ("handles", "stores", "provides", "manages", "coordinates", "renders")
+
+
+def synth_gazetteer(n: int) -> list:
+    """n deterministic component names exercising every surface shape."""
+    stems = (
+        "Alpha", "Beta", "Gamma", "Delta", "Omega", "Nova", "Zephyr",
+        "Quartz", "Onyx", "Krypton", "Vertex", "Flux", "Pylon", "Cobalt",
+    )
+    kinds = ("Provider", "Manager", "Gateway", "Engine", "Broker", "Hub")
+    names = []
+    for i in range(n):
+        stem = stems[i % len(stems)]
+        kind = kinds[(i // len(stems)) % len(kinds)]
+        variant = i % 4
+        if variant == 0:
+            names.append(f"{stem}{kind}{i}")  # CamelCase compound
+        elif variant == 1:
+            names.append(f"{stem} {kind} {i}")  # multi-word
+        elif variant == 2:
+            names.append(f"{stem}RTC-{kind[:3].upper()}{i}")  # hyphen+acronym
+        else:
+            names.append(f"{stem}{i}")
+    return names
+
+
+def _gen_doc(doc_idx: int, seed: int, gaz: list, sentences_lo: int,
+             sentences_hi: int, media_ratio: float, skew_frac: float):
+    rng = np.random.RandomState((seed * 1_000_003 + doc_idx) % (2**31 - 1))
+    n_sent = int(rng.randint(sentences_lo, sentences_hi + 1))
+    spans = []
+    offset = 1
+    for s in range(n_sent):
+        r = rng.rand()
+        if r < media_ratio:
+            spans.append(
+                {
+                    "kind": "image" if rng.rand() < 0.7 else "diagram",
+                    "text": "",
+                    "media_ref": f"media://doc{doc_idx}/{offset}",
+                    "offset": offset,
+                }
+            )
+            offset += 1
+        kind = rng.rand()
+        if kind < 0.55:  # mention-bearing sentence
+            name = gaz[0] if rng.rand() < skew_frac else gaz[
+                int(rng.randint(0, len(gaz)))
+            ]
+            verb = _VERBS[int(rng.randint(0, len(_VERBS)))]
+            other = gaz[int(rng.randint(0, len(gaz)))]
+            text = f"The {name} {verb} requests from the {other}."
+        elif kind < 0.7:  # pronoun follow-up
+            verb = _VERBS[int(rng.randint(0, len(_VERBS)))]
+            text = f"It {verb} the incoming data for every session."
+        else:
+            text = _FILLER[int(rng.randint(0, len(_FILLER)))].capitalize() + "."
+        spans.append({"kind": "text", "text": text, "media_ref": "", "offset": offset})
+        offset += 1
+    return {"doc_id": f"doc{doc_idx:010d}", "spans": spans}
+
+
+def synth_documents(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    gazetteer_size: int = 200,
+    sentences_lo: int = 12,
+    sentences_hi: int = 197,
+    media_ratio: float = 0.2,
+    skew_frac: float = 0.3,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic documents table (input_hint shape)."""
+    gaz = synth_gazetteer(gazetteer_size)
+    base = spark.range(0, n_docs, numPartitions=partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                _gen_doc(
+                    int(i), seed, gaz, sentences_lo, sentences_hi,
+                    media_ratio, skew_frac,
+                )
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(gen, schema=DOCUMENTS)
