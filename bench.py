@@ -1,0 +1,105 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "triples_per_sec": ...}
+
+Headline set = the flagship NAER KG pipeline (documents -> triples,
+measuring triples/sec, the engine's primary metric) + representative
+operator queries (dedup, ANN, aggregation, window argmax).
+
+Scaling evidence (north_rule): run `python tools/scaling.py` which
+executes this same pipeline at local[8] and local[32] and reports
+throughput + efficiency into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def run_bench(sf_dir: str, cpus: str, n_synth_docs: int | None = None):
+    import __spark_entry__ as entrymod
+    from named_architecture_entity_recognition_spark.plans.pipeline import (
+        RecognizerPipeline,
+    )
+    from named_architecture_entity_recognition_spark.session import get_spark
+    from named_architecture_entity_recognition_spark.synth import (
+        synth_documents,
+        synth_gazetteer,
+    )
+
+    spark = get_spark(
+        "naer-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(int(cpus) * 2, 8) if cpus.isdigit() else 32,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = 0.1
+    if n_synth_docs is None:
+        # sf0.1 -> 4000 synthetic interleaved docs (~400k sentences)
+        n_synth_docs = max(int(40000 * sf_num), 200)
+
+    timings: dict = {}
+    extras: dict = {}
+
+    # --- flagship: NAER KG construction over synthetic interleaved docs
+    t0 = time.time()
+    docs = synth_documents(spark, n_synth_docs, seed=42, partitions=None)
+    gaz = synth_gazetteer(200)
+    pipe = RecognizerPipeline(gaz, validate=True)
+    triples = pipe.triples(docs)
+    n_triples = triples.count()
+    dt = time.time() - t0
+    timings["naer_kg_pipeline"] = round(dt, 3)
+    extras["n_docs"] = n_synth_docs
+    extras["n_triples"] = n_triples
+    extras["triples_per_sec"] = round(n_triples / dt, 1)
+
+    # --- operator headliners on the driver tables
+    qs = entrymod.queries()
+    for name in (
+        "q_pricing_summary",
+        "q_revenue_by_nation",
+        "q_argmax_window_a7",
+        "q_exact_dedup",
+        "q_lsh_pairs",
+        "q_ngram_jaccard",
+        "q_ann_cosine_topk",
+        "q_token_count",
+        "q_naer_triples",
+    ):
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "naer_kg_headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_num,
+        **extras,
+    }
+    spark.stop()
+    return result
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_docs = os.environ.get("NAER_BENCH_DOCS")
+    result = run_bench(sf_dir, cpus, int(n_docs) if n_docs else None)
+    print(json.dumps(result))

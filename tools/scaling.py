@@ -1,0 +1,86 @@
+"""Two-cluster-size scaling evidence (north_rule).
+
+Runs the identical NAER KG pipeline job on the identical deterministic
+input at local[N] and local[4N] (sandbox stand-in for N vs 4N
+executors; no real cluster available) in separate JVMs, and reports
+throughput at both plus efficiency = (T_N / T_4N) / 4.
+
+Usage: python tools/scaling.py [n_docs] [N]
+Writes results as JSON to stdout; paste into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+RUNNER = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from named_architecture_entity_recognition_spark.session import get_spark
+from named_architecture_entity_recognition_spark.plans.pipeline import RecognizerPipeline
+from named_architecture_entity_recognition_spark.synth import synth_documents, synth_gazetteer
+
+cpus = {cpus}
+n_docs = {n_docs}
+spark = get_spark("naer-scaling", master=f"local[{{cpus}}]",
+                  shuffle_partitions=max(cpus * 2, 8))
+spark.sparkContext.setLogLevel("ERROR")
+# generate the corpus once and cache to parquet so both sizes read the
+# exact same bytes (generation excluded from the timed section)
+docs = synth_documents(spark, n_docs, seed=42, partitions=cpus * 2)
+path = {path!r}
+import os
+if not os.path.exists(path + "/_SUCCESS"):
+    docs.write.mode("overwrite").parquet(path)
+docs = spark.read.parquet(path)
+gaz = synth_gazetteer(200)
+pipe = RecognizerPipeline(gaz, validate=True)
+t0 = time.time()
+n_triples = pipe.triples(docs).count()
+dt = time.time() - t0
+print(json.dumps({{"cpus": cpus, "sec": round(dt, 2),
+                   "n_triples": n_triples,
+                   "triples_per_sec": round(n_triples / dt, 1)}}))
+spark.stop()
+"""
+
+
+def run(cpus: int, n_docs: int, path: str) -> dict:
+    code = RUNNER.format(repo=str(REPO), cpus=cpus, n_docs=n_docs, path=path)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no result: {out.stdout[-2000:]} {out.stderr[-2000:]}")
+
+
+def main():
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 8000
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    path = f"/tmp/naer_scaling_docs_{n_docs}"
+    small = run(n, n_docs, path)
+    big = run(n * 4, n_docs, path)
+    eff = round(small["sec"] / big["sec"] / 4, 3)
+    print(
+        json.dumps(
+            {
+                "n_docs": n_docs,
+                f"local[{n}]": small,
+                f"local[{n*4}]": big,
+                "speedup": round(small["sec"] / big["sec"], 2),
+                "scaling_efficiency": eff,
+            },
+            indent=2,
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
