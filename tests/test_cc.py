@@ -1,0 +1,60 @@
+"""Connected components (alias canonicalization, J3 general form)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from named_architecture_entity_recognition_spark.operators.cc import (
+    canonicalize_aliases,
+    connected_components,
+)
+
+
+def cc_map(edges_df):
+    return {
+        r.node: r.component for r in connected_components(edges_df).collect()
+    }
+
+
+def test_two_components(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    m = cc_map(edges)
+    assert m["a"] == m["b"] == m["c"] == "a"
+    assert m["x"] == m["y"] == "x"
+
+
+def test_chain_converges(spark):
+    # long path exercises >1 iteration of label propagation
+    nodes = [f"n{i:02d}" for i in range(12)]
+    edges = spark.createDataFrame(
+        [(nodes[i], nodes[i + 1]) for i in range(11)], "src string, dst string"
+    )
+    m = cc_map(edges)
+    assert set(m.values()) == {"n00"}
+
+
+def test_deterministic_vs_partitioning(spark):
+    rows = [("a", "b"), ("c", "d"), ("b", "c"), ("p", "q")]
+    e1 = spark.createDataFrame(rows, "src string, dst string")
+    e2 = spark.createDataFrame(rows, "src string, dst string").repartition(7)
+    assert cc_map(e1) == cc_map(e2)
+
+
+def test_canonicalize_aliases_unifies_pools(spark):
+    entities = spark.createDataFrame(
+        [
+            ("d1", "WebUI", "COMPONENT", ["UI"], []),
+            ("d1", "Web User Interface", "COMPONENT", ["ui"], []),
+            ("d1", "Auth", "COMPONENT", [], []),
+            ("d2", "WebUI", "COMPONENT", ["UI"], []),  # other doc: own component
+        ],
+        "doc_id string, name string, entity_type string, "
+        "alternative_names array<string>, occurrences array<struct<sent_no:int,ref_type:string>>",
+    )
+    out = canonicalize_aliases(entities)
+    comp = {(r.doc_id, r.name): r.component for r in out.collect()}
+    # WebUI and 'Web User Interface' share pool name 'ui' within d1
+    assert comp[("d1", "WebUI")] == comp[("d1", "Web User Interface")]
+    assert comp[("d1", "Auth")] != comp[("d1", "WebUI")]
+    assert comp[("d2", "WebUI")] != comp[("d1", "WebUI")]  # doc-scoped
