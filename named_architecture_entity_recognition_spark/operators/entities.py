@@ -40,33 +40,31 @@ def assemble_entities(mentions: DataFrame) -> DataFrame:
     (model/NamedEntity.java:192-198), aliases sorted+distinct like
     TreeSet<String>.
     """
-    occ = (
-        mentions.filter(F.col("record") == "mention")
+    # single conditional aggregation: one scan of mentions, one shuffle
+    # (collect_set skips the NULLs produced by the other record kind)
+    agg = (
+        mentions.filter(F.col("record").isin("mention", "alias"))
         .groupBy("doc_id", "name")
         .agg(
             F.array_sort(
-                F.collect_set(F.struct("sent_no", "ref_type"))
-            ).alias("occurrences")
+                F.collect_set(
+                    F.when(
+                        F.col("record") == "mention",
+                        F.struct("sent_no", "ref_type"),
+                    )
+                )
+            ).alias("occurrences"),
+            F.array_sort(
+                F.collect_set(F.when(F.col("record") == "alias", F.col("alias")))
+            ).alias("alternative_names"),
         )
     )
-    aliases = (
-        mentions.filter(F.col("record") == "alias")
-        .groupBy("doc_id", "name")
-        .agg(F.array_sort(F.collect_set("alias")).alias("alternative_names"))
-    )
-    return (
-        occ.join(aliases, ["doc_id", "name"], "left")
-        .withColumn(
-            "alternative_names",
-            F.coalesce("alternative_names", F.array().cast("array<string>")),
-        )
-        .select(
-            "doc_id",
-            "name",
-            F.lit("COMPONENT").alias("entity_type"),
-            "alternative_names",
-            "occurrences",
-        )
+    return agg.filter(F.size("occurrences") > 0).select(
+        "doc_id",
+        "name",
+        F.lit("COMPONENT").alias("entity_type"),
+        "alternative_names",
+        "occurrences",
     )
 
 

@@ -225,6 +225,132 @@ def _char_to_token_range(spans, start, end):
     return (toks[0], toks[-1]) if toks else (-1, -1)
 
 
+class LineView:
+    """Per-line precomputation shared across all gazetteer entries.
+
+    Tokenizing/indexing once per line (instead of once per (line,
+    entry) pair) plus trigger-set candidate pruning is what makes the
+    matcher scale to large dictionaries: entries with no lexical signal
+    in the line are skipped without running any regex."""
+
+    __slots__ = (
+        "line", "low", "spans", "words", "low_words", "token_set",
+        "prefix4", "firstchars", "acr_equiv", "gap_dotted", "_initials",
+        "_window_norms", "_tok_prefix6",
+    )
+
+    def __init__(self, line: str):
+        self.line = line
+        self.low = line.lower()
+        self.spans = _token_spans(line)
+        self.words = [w for w, _, _ in self.spans]
+        self.low_words = [w.lower() for w in self.words]
+        self.token_set = set(self.low_words)
+        pf = set()
+        for k, w in enumerate(self.low_words):
+            pf.add(w[:4])
+            if k + 1 < len(self.low_words):
+                pf.add((w + self.low_words[k + 1])[:4])
+        self.prefix4 = pf
+        self.firstchars = {w[0] for w in self.low_words if w}
+        self.acr_equiv = set()
+        for w in self.words:
+            ct = camel_tokens(w)
+            if len(ct) >= 2:
+                self.acr_equiv.add(acronym_of(w).lower())
+        # gap_dotted[k] == True iff a '.' sits between tokens k and k+1
+        g = []
+        for k in range(len(self.spans) - 1):
+            g.append("." in line[self.spans[k][2] : self.spans[k + 1][1]])
+        self.gap_dotted = g
+        self._initials = None
+        self._window_norms = None
+        self._tok_prefix6 = None
+
+    def dotted(self, i: int, j: int) -> bool:
+        return any(self.gap_dotted[i:j])
+
+    def window_norms(self, max_window: int = 4, max_len: int = 40):
+        """{concat-of-lowered-tokens: (i, j)} over all windows of up to
+        max_window tokens that do not cross a '.' gap; first (leftmost)
+        window wins. Built once per line; entry matching becomes a hash
+        lookup instead of a scan."""
+        if self._window_norms is None:
+            wn = {}
+            lw = self.low_words
+            gd = self.gap_dotted
+            for i in range(len(lw)):
+                acc = lw[i]
+                if acc not in wn:
+                    wn[acc] = (i, i)
+                for j in range(i + 1, min(i + max_window, len(lw))):
+                    if gd[j - 1]:
+                        break
+                    acc += lw[j]
+                    if len(acc) > max_len:
+                        break
+                    if acc not in wn:
+                        wn[acc] = (i, j)
+            self._window_norms = wn
+        return self._window_norms
+
+    def tok_prefix6(self):
+        """{token[:6]: [(index, token)]} for compound-token lookup."""
+        if self._tok_prefix6 is None:
+            d = {}
+            for i, w in enumerate(self.low_words):
+                d.setdefault(w[:6], []).append((i, w))
+            self._tok_prefix6 = d
+        return self._tok_prefix6
+
+    def initials_windows(self):
+        """{initials-string: (i, j)} for windows of 2..6 initial chars
+        starting at an uppercase word (for R_EXPAND); lazy."""
+        if self._initials is None:
+            out = {}
+            per_word = [acronym_of(w).lower() for w in self.words]
+            for i, w in enumerate(self.words):
+                if not w[:1].isupper():
+                    continue
+                acc = ""
+                for j in range(i, len(self.words)):
+                    if j > i and self.gap_dotted[j - 1]:
+                        break
+                    acc += per_word[j]
+                    if len(acc) > 6:
+                        break
+                    if j > i and acc not in out:
+                        out[acc] = (i, j)
+            self._initials = out
+        return self._initials
+
+
+def _is_candidate(lv: LineView, entry: GazEntry, cfg: MatcherConfig) -> bool:
+    """Cheap trigger test: can this entry possibly match this line?"""
+    if entry.tokens[0] in lv.token_set:
+        return True
+    if entry.is_ambiguous:
+        return False  # ambiguous entries only match via surface tokens
+    if entry.norm[:4] in lv.prefix4:
+        return True
+    for t in entry.tokens:
+        if 2 <= len(t) <= 6 and t in lv.acr_equiv:
+            return True  # BBB ~ BigBlueButton token equivalence
+    if (
+        entry.name.isupper()
+        and 3 <= len(entry.norm) <= 6
+        and entry.norm in lv.initials_windows()
+    ):
+        return True  # FSESL ~ FreeSWITCH Event Socket Layer
+    if (
+        cfg.enable_fuzzy
+        and 4 <= len(entry.norm) <= 6
+        and entry.norm[0] in lv.firstchars
+    ):
+        return True
+    return False
+
+
 def _word_matches_token(word: str, tok: str) -> bool:
     """Token equivalence incl. acronym<->camel expansion (BBB~BigBlueButton).
 
@@ -245,9 +371,9 @@ def _word_matches_token(word: str, tok: str) -> bool:
     return False
 
 
-def _surface_matches(line: str, entry: GazEntry, cfg: MatcherConfig):
-    """Yield (rule, (tok_lo, tok_hi)) matches of entry in line."""
-    spans = _token_spans(line)
+def _surface_matches(lv: LineView, entry: GazEntry, cfg: MatcherConfig):
+    """Yield (rule, (tok_lo, tok_hi)) matches of entry in the line."""
+    line, spans, words = lv.line, lv.spans, lv.words
     out = []
     if entry.is_ambiguous:
         m = entry.ctx_regex.search(line)
@@ -255,87 +381,68 @@ def _surface_matches(line: str, entry: GazEntry, cfg: MatcherConfig):
             out.append(("R_EXACT", _char_to_token_range(spans, m.start(), m.end())))
         else:
             m = entry.cs_regex.search(line)
-            if m and not entry.pkg_regex.search(line.lower()):
+            if m and not entry.pkg_regex.search(lv.low):
                 tail = line[m.end():]
                 if not re.match(r"[\s\-]+(tests?|testing)\b", tail, re.IGNORECASE):
                     out.append(
                         ("R_EXACT", _char_to_token_range(spans, m.start(), m.end()))
                     )
         return out
-    m = entry.ci_regex.search(line)
-    if m:
-        out.append(("R_EXACT", _char_to_token_range(spans, m.start(), m.end())))
-        return out
-    words = [w for w, _, _ in spans]
-
-    def dotted(i, j):
-        # window crosses a package-path '.' boundary ("test.driver")
-        for k in range(i, j):
-            gap = line[spans[k][2]:spans[k + 1][1]]
-            if "." in gap:
-                return True
-        return False
-
+    if entry.tokens[0] in lv.token_set:
+        m = entry.ci_regex.search(line)
+        if m:
+            return [("R_EXACT", _char_to_token_range(spans, m.start(), m.end()))]
     n_tok = len(entry.tokens)
+    norm = entry.norm
     # R_EXPAND: the name is an acronym of a multi-word window's
     # camel-initials ("FSESL" ~ "FreeSWITCH Event Socket Layer")
-    if n_tok == 1 and entry.name.isupper() and 3 <= len(entry.norm) <= 6:
-        for i in range(len(words)):
-            for j in range(i + 1, min(i + len(entry.norm), len(words))):
-                if dotted(i, j):
-                    break
-                initials = "".join(
-                    acronym_of(w) for w in words[i : j + 1]
-                ).lower()
-                if initials == entry.norm and words[i][0].isupper():
-                    return [("R_NORM", (i, j))]
-    # R_NORM with acronym equivalence: window of tokens equivalent 1:1 or
-    # whose concatenated norm equals the name norm
-    for i in range(len(words)):
-        if n_tok > 1 and i + n_tok <= len(words) and not dotted(i, i + n_tok - 1):
+    if n_tok == 1 and entry.name.isupper() and 3 <= len(norm) <= 6:
+        hit = lv.initials_windows().get(norm)
+        if hit:
+            return [("R_NORM", hit)]
+    wn = lv.window_norms(cfg.max_window)
+    low_words = lv.low_words
+    # R_NORM: normalized window equality ("bbb-web" == "BBB web")
+    hit = wn.get(norm)
+    if hit is not None and (hit[0] != hit[1] or low_words[hit[0]] != norm):
+        return [("R_NORM", hit)]
+    # R_NORM acronym-equivalent 1:1 window ("BigBlueButton web" ~ "BBB web");
+    # only reachable when some entry token has an acronym-expanded word
+    if n_tok > 1 and any(2 <= len(t) <= 6 and t in lv.acr_equiv for t in entry.tokens):
+        for i in range(len(words) - n_tok + 1):
+            if lv.dotted(i, i + n_tok - 1):
+                continue
             if all(
                 _word_matches_token(words[i + k], entry.tokens[k])
-                or normalize_name(words[i + k]) == entry.tokens[k]
                 for k in range(n_tok)
             ):
                 return [("R_NORM", (i, i + n_tok - 1))]
-        acc = ""
-        for j in range(i, min(i + cfg.max_window, len(words))):
-            acc += words[j].lower()
+    # R_STEM: inflections of the name ("re-encoding" -> reencoder)
+    if cfg.enable_stem and len(norm) >= cfg.stem_min_prefix:
+        for k in (1, 2):
+            stem = norm[:-k]
+            for suf in _STEM_SUFFIXES:
+                cand = stem + suf
+                if cand != norm:
+                    hit = wn.get(cand)
+                    if hit is not None:
+                        return [("R_STEM", hit)]
+    # R_COMPOUND: name embedded as head of a longer single token
+    if len(norm) >= 6:
+        for i, w in lv.tok_prefix6().get(norm[:6], ()):
+            if len(w) > len(norm) + 2 and w.startswith(norm):
+                return [("R_COMPOUND", (i, i))]
+    # R_FUZZY: char-set Jaccard for short acronym-like names (typos)
+    if cfg.enable_fuzzy and 4 <= len(norm) <= 6:
+        for acc, span in wn.items():
             if (
-                acc == entry.norm
-                and (j > i or words[i].lower() != entry.norm)
-                and not dotted(i, j)
+                abs(len(acc) - len(norm)) <= 1
+                and acc
+                and acc[0] == norm[0]
+                and acc != norm
+                and char_jaccard(acc, norm) >= cfg.fuzzy_threshold
             ):
-                return [("R_NORM", (i, j))]
-    for i in range(len(words)):
-        acc = ""
-        for j in range(i, min(i + cfg.max_window, len(words))):
-            if dotted(i, j):
-                break
-            acc += words[j].lower()
-            if (
-                cfg.enable_fuzzy
-                and 4 <= len(entry.norm) <= 6
-                and abs(len(acc) - len(entry.norm)) <= 1
-                and acc[0] == entry.norm[0]
-                and acc != entry.norm
-                and char_jaccard(acc, entry.norm) >= cfg.fuzzy_threshold
-            ):
-                return [("R_FUZZY", (i, j))]
-            if cfg.enable_stem and len(entry.norm) >= cfg.stem_min_prefix:
-                for k in (1, 2):
-                    stem = entry.norm[:-k]
-                    for suf in _STEM_SUFFIXES:
-                        if acc == stem + suf and acc != entry.norm:
-                            return [("R_STEM", (i, j))]
-            if (
-                i == j
-                and len(entry.norm) >= 6
-                and len(acc) > len(entry.norm) + 2
-                and acc.startswith(entry.norm)
-            ):
-                return [("R_COMPOUND", (i, j))]
+                return [("R_FUZZY", span)]
     return out
 
 
@@ -382,14 +489,17 @@ def detect_mentions(lines, gazetteer, cfg: MatcherConfig | None = None):
     focus = []  # single focused entity of the previous sentence
     focus_line = -10  # sentence that set the focus (pronoun decay = 1 line)
     for sent_no, line in enumerate(lines, 1):
+        lv = LineView(line)
         matches = []  # (name, ref, rule, span)
         for entry in gazetteer:
-            for rule, span in _surface_matches(line, entry, cfg):
+            if not _is_candidate(lv, entry, cfg):
+                continue
+            for rule, span in _surface_matches(lv, entry, cfg):
                 ref = DIRECT if rule in ("R_EXACT", "R_NORM") else INDIRECT
                 matches.append((entry.name, ref, rule, span))
         # doc-induced aliases (count as DIRECT: alias containment,
         # NamedEntityParser.java:196-200)
-        spans = _token_spans(line)
+        spans = lv.spans
         for acro, (name, rx) in aliases.items():
             if any(m[0] == name for m in matches):
                 continue
@@ -411,9 +521,16 @@ def detect_mentions(lines, gazetteer, cfg: MatcherConfig | None = None):
         has_strong = any(m[2] in ("R_EXACT", "R_NORM") for m in kept)
         # head-noun anaphora (per entity, only if that entity not already matched)
         if cfg.enable_head_noun:
-            low = line.lower()
+            low = lv.low
             for entry in gazetteer:
                 if entry.name in matched_names:
+                    continue
+                if (
+                    entry.head is None or entry.head not in lv.token_set
+                ) and (
+                    entry.camel_head is None
+                    or entry.camel_head not in lv.token_set
+                ):
                     continue
                 if entry.head and re.search(
                     # not hyphen-attached ("client-side"), not quantifier-
@@ -441,7 +558,11 @@ def detect_mentions(lines, gazetteer, cfg: MatcherConfig | None = None):
         # entity matched strongly in this sentence
         if not has_strong:
             for entry in gazetteer:
-                if entry.prefix and entry.name not in matched_names:
+                if (
+                    entry.prefix
+                    and entry.prefix in lv.token_set
+                    and entry.name not in matched_names
+                ):
                     if re.search(
                         r"(?i)(?<![a-z0-9])" + re.escape(entry.prefix) + r"(?![a-z0-9])",
                         line,

@@ -27,10 +27,21 @@ from named_architecture_entity_recognition_spark.operators.matching import (
 from named_architecture_entity_recognition_spark.schema import MENTIONS
 
 
+def _line_is_valid(ln) -> bool:
+    """Reference one-sentence-per-line invariant (F1): trimmed line is
+    non-empty and ends with a sentence terminator
+    (model/SoftwareArchitectureDocumentation.java:76-95)."""
+    if ln is None:
+        return False
+    t = ln.strip()
+    return bool(t) and t[-1] in ".!?"
+
+
 def detect_mentions_df(
     docs: DataFrame,
     gazetteer_names,
     cfg: MatcherConfig | None = None,
+    validate_format: bool = False,
 ) -> DataFrame:
     """documents(doc_id, spans) -> mentions rows (see schema.MENTIONS).
 
@@ -74,6 +85,19 @@ def detect_mentions_df(
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
                 gaz = gaz_for(doc_id)
                 lines = [s["text"] for s in spans if s["kind"] == "text"]
+                if validate_format:
+                    # F1 validation in the SAME pass (no extra doc scan):
+                    # reference fails the doc; we quarantine + count
+                    n_bad = sum(1 for ln in lines if not _line_is_valid(ln))
+                    if n_bad:
+                        out["doc_id"].append(doc_id)
+                        out["record"].append("quarantined")
+                        out["name"].append("")
+                        out["sent_no"].append(n_bad)
+                        out["ref_type"].append(None)
+                        out["rule"].append("F1")
+                        out["alias"].append(None)
+                        continue
                 for sent_no, name, ref, rule in detect_mentions(lines, gaz, cfg):
                     out["doc_id"].append(doc_id)
                     out["record"].append("mention")

@@ -24,35 +24,42 @@ def entity_id() -> "F.Column":
 
 
 def to_triples(entities: DataFrame) -> DataFrame:
-    e = entities.withColumn("subj", entity_id())
-    instance_of = e.select(
-        "subj", F.lit("instanceOf").alias("pred"), F.col("entity_type").alias("obj")
-    )
-    has_name = e.select(
-        "subj", F.lit("hasName").alias("pred"), F.col("name").alias("obj")
-    )
-    has_alt = e.select(
-        "subj",
-        F.lit("hasAlternativeName").alias("pred"),
-        F.explode("alternative_names").alias("obj"),
-    )
-    occurs_in = (
-        e.select("subj", "doc_id", F.explode("occurrences").alias("occ"))
-        .select(
-            "subj",
-            F.lit("occursIn").alias("pred"),
-            F.concat_ws(
-                "#",
-                F.col("doc_id"),
-                F.concat(F.lit("s"), F.col("occ.sent_no").cast("string")),
-                F.col("occ.ref_type"),
-            ).alias("obj"),
-        )
+    """Single-pass triple generation: per entity row, build the full
+    (pred, obj) array and explode ONCE. A union of four projections
+    would re-execute the upstream lineage (mapInPandas detection +
+    aggregation) four times; this shape scans entities exactly once and
+    stays narrow."""
+    pairs = F.concat(
+        F.array(
+            F.struct(
+                F.lit("instanceOf").alias("pred"),
+                F.col("entity_type").alias("obj"),
+            ),
+            F.struct(F.lit("hasName").alias("pred"), F.col("name").alias("obj")),
+        ),
+        F.transform(
+            "alternative_names",
+            lambda a: F.struct(
+                F.lit("hasAlternativeName").alias("pred"), a.alias("obj")
+            ),
+        ),
+        F.transform(
+            "occurrences",
+            lambda o: F.struct(
+                F.lit("occursIn").alias("pred"),
+                F.concat_ws(
+                    "#",
+                    F.col("doc_id"),
+                    F.concat(F.lit("s"), o["sent_no"].cast("string")),
+                    o["ref_type"],
+                ).alias("obj"),
+            ),
+        ),
     )
     return (
-        instance_of.unionByName(has_name)
-        .unionByName(has_alt)
-        .unionByName(occurs_in)
+        entities.withColumn("subj", entity_id())
+        .select("subj", F.explode(pairs).alias("po"))
+        .select("subj", F.col("po.pred").alias("pred"), F.col("po.obj").alias("obj"))
     )
 
 

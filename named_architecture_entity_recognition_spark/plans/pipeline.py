@@ -28,9 +28,6 @@ from named_architecture_entity_recognition_spark.operators.matching import Match
 from named_architecture_entity_recognition_spark.operators.mentions import (
     detect_mentions_df,
 )
-from named_architecture_entity_recognition_spark.operators.sentences import (
-    quarantine_split,
-)
 from named_architecture_entity_recognition_spark.operators.triples import to_triples
 
 
@@ -46,9 +43,13 @@ class RecognizerPipeline:
     validate: bool = True
 
     def mentions(self, docs: DataFrame) -> DataFrame:
-        if self.validate:
-            docs, _bad = quarantine_split(docs)
-        return detect_mentions_df(docs, self.gazetteer_names, self.cfg)
+        # F1 validation happens inside the detection pass itself
+        # (validate_format) — a separate quarantine_split would scan the
+        # documents twice; quarantined docs surface as 'quarantined'
+        # records for the metrics layer
+        return detect_mentions_df(
+            docs, self.gazetteer_names, self.cfg, validate_format=self.validate
+        )
 
     def entities(self, docs: DataFrame) -> DataFrame:
         return dedup_entities(assemble_entities(self.mentions(docs)))
