@@ -25,12 +25,18 @@ def _words(col) -> Column:
 
 
 def shingles(col, n: int = 3) -> Column:
-    """Word n-gram shingle array (distinct), 1-indexed slices."""
+    """Word n-gram shingle array (distinct).
+
+    element_at per position instead of slice(): slice allocates a new
+    sub-array per shingle (O(len^2) churn in the interpreted
+    higher-order-function path)."""
     w = _words(col)
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + k) for k in range(n)]
+            ),
         )
     )
 
@@ -55,13 +61,32 @@ def minhash_signature(col, n_hashes: int = 8, shingle_n: int = 3) -> Column:
 
     min over lexicographic md5 hex = a valid permutation-min family;
     md5 keeps Spark/DuckDB results byte-identical.
+
+    Implemented as ONE ``aggregate`` pass over the shingle array with an
+    n_hashes-wide running-min accumulator: a per-seed ``transform``
+    would re-evaluate the whole shingle-construction subtree once per
+    seed (higher-order functions are interpreted, no common-subexpr
+    elimination), which measured ~n_hashes x slower.
     """
     sh = shingles(col, shingle_n)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda seed: F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(seed.cast("string"), s)))
+    seeds = F.sequence(F.lit(0), F.lit(n_hashes - 1))
+    # '~' (0x7e) sorts after every hex digit, so it is the identity for
+    # lexicographic min over md5 strings
+    init = F.transform(seeds, lambda _: F.lit("~"))
+    agg = F.aggregate(
+        sh,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            seeds,
+            lambda a, i: F.least(a, F.md5(F.concat(i.cast("string"), s))),
         ),
+    )
+    # empty shingle array -> null entries (array_min-of-empty semantics,
+    # keeps the DuckDB list_min oracle byte-identical); mapping the
+    # sentinel afterwards evaluates the shingle subtree exactly once
+    return F.transform(
+        agg, lambda x: F.when(x != "~", x).otherwise(F.lit(None).cast("string"))
     )
 
 
@@ -79,8 +104,12 @@ def minhash_lsh_pairs(
     doc_b, distinct. Shuffle = one groupBy-free self-equi-join on
     (band_idx, band_key).
     """
+    from named_architecture_entity_recognition_spark.session import (
+        ensure_parallelism,
+    )
+
     rows_per_band = n_hashes // bands
-    sig = docs.select(
+    sig = ensure_parallelism(docs).select(
         "doc_id", minhash_signature(F.col(text_col), n_hashes, shingle_n).alias("sig")
     )
     banded = sig.select(

@@ -31,6 +31,17 @@ _DEFAULTS = {
 }
 
 
+def ensure_parallelism(df, factor: int = 1):
+    """Repartition ONLY when the input has fewer partitions than the
+    cluster has cores (e.g. a small single-row-group parquet file that
+    Spark cannot split). At production scale inputs arrive with
+    thousands of partitions and this is a no-op — no shuffle added."""
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def get_spark(
     app_name: str = "naer-spark",
     master: str | None = None,

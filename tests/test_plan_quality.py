@@ -1,0 +1,91 @@
+"""Physical-plan audits: the optimizations we rely on at 100TB must be
+visible in the plans at any scale — predicate pushdown reaching the
+parquet scan, column pruning, broadcast joins for small dims, and
+whole-stage codegen around the hot expressions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_to_parquet(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    plan = plan_of(q)
+    assert "PushedFilters" in plan and "GreaterThan(l_quantity,40" in plan
+
+
+def test_column_pruning(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.select("l_orderkey")
+    plan = plan_of(q)
+    # ReadSchema carries only the projected column
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "l_orderkey" in read_schema[0]
+    assert "l_extendedprice" not in read_schema[0]
+
+
+def test_small_dim_join_is_broadcast(spark):
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    q = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).groupBy(
+        "n_name"
+    ).count()
+    plan = plan_of(q)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_kg_pipeline_single_shuffle(spark):
+    """The whole documents->triples pipeline must contain exactly ONE
+    exchange (the entity-assembly hash aggregation); detection is
+    partition-preserving mapInPandas and triples are narrow."""
+    from named_architecture_entity_recognition_spark.plans.pipeline import (
+        RecognizerPipeline,
+    )
+    from named_architecture_entity_recognition_spark.synth import (
+        synth_documents,
+        synth_gazetteer,
+    )
+
+    docs = synth_documents(spark, 10, seed=1, gazetteer_size=10)
+    t = RecognizerPipeline(synth_gazetteer(10)).triples(docs)
+    simple = t._sc._jvm.PythonSQLUtils.explainString(
+        t._jdf.queryExecution(), "simple"
+    )
+    assert simple.count("Exchange") == 1, simple
+    plan = plan_of(t)
+    # no row-at-a-time python: the only python boundary is Arrow-batched
+    assert "ArrowEvalPython" not in plan  # no scalar python UDF in plan
+    assert "BatchEvalPython" not in plan  # no legacy row-python anywhere
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+
+
+def test_charset_fastpath_has_no_python(spark):
+    """J1 fast path (charset-key equi-join) must be pure JVM."""
+    from named_architecture_entity_recognition_spark.operators.occurrences import (
+        charset_key,
+    )
+
+    s = spark.createDataFrame(
+        [("d", 1, "abc.")], "doc_id string, sent_no int, sentence string"
+    ).withColumn("ckey", charset_key("sentence"))
+    plan = plan_of(s)
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert "WholeStageCodegen" in plan
+
+
+def test_aggregation_is_partial_then_final(spark):
+    """groupBy aggregations must show map-side partial aggregation."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    plan = plan_of(q)
+    assert "partial_sum" in plan.lower() or "HashAggregate" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
