@@ -388,6 +388,79 @@ def _q_alias_cc_j3(spark, sf):
     return connected_components(edges)
 
 
+def _q_reassemble_f3(spark, sf):
+    d = _read(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.concat_ws("\n", F.slice(F.split("text", " "), 1, 5)).alias("head_text"),
+    )
+
+
+def _q_none_filter_f5(spark, sf):
+    d = _read(spark, sf, "documents")
+    return d.filter(
+        F.col("lang").isNotNull() & (F.col("lang") != "None") & (F.col("n_chars") > 0)
+    ).select("doc_id", "lang")
+
+
+def _q_change_name_p5(spark, sf):
+    # P5 changeName: old name joins the sorted-distinct alias set
+    d = _read(spark, sf, "documents")
+    w = F.split("text", " ")
+    return d.filter(F.size(w) >= 4).select(
+        "doc_id",
+        w[3].alias("name"),
+        F.concat_ws(
+            ",",
+            F.array_sort(
+                F.array_distinct(F.array_union(F.array(w[1], w[2]), F.array(w[0])))
+            ),
+        ).alias("aliases"),
+    )
+
+
+def _q_occurrence_lines_a2(spark, sf):
+    # A2 getOccurrenceLines: sorted distinct ints per group, canonical form
+    o = _read(spark, sf, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_set(F.pmod("o_orderkey", F.lit(97)).cast("long"))
+                ),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("occ_lines")
+    )
+
+
+def _q_lowercase_f7(spark, sf):
+    d = _read(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.array_sort(F.array_distinct(F.split(F.lower("text"), " ")))
+        ).alias("vocab"),
+    )
+
+
+def _q_set_ops(spark, sf):
+    c = _read(spark, sf, "customer")
+    o = _read(spark, sf, "orders")
+    with_orders = o.select(F.col("o_custkey").alias("k")).dropDuplicates()
+    positive = c.filter(F.col("c_acctbal") > 0).select(F.col("c_custkey").alias("k"))
+    return spark.createDataFrame(
+        [
+            (
+                with_orders.intersect(positive).count(),
+                positive.exceptAll(positive.join(with_orders, "k", "semi")).count(),
+            )
+        ],
+        "n_both long, n_only_positive long",
+    )
+
+
 # -------------------------------------------------- rows-only (no oracle)
 
 
@@ -461,6 +534,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": _q_fingerprint,
         "q_ann_cosine_topk": _q_ann_cosine_topk,
         "q_alias_cc_j3": _q_alias_cc_j3,
+        "q_reassemble_f3": _q_reassemble_f3,
+        "q_none_filter_f5": _q_none_filter_f5,
+        "q_change_name_p5": _q_change_name_p5,
+        "q_occurrence_lines_a2": _q_occurrence_lines_a2,
+        "q_lowercase_f7": _q_lowercase_f7,
+        "q_set_ops": _q_set_ops,
         # rows-only (non-SQL-expressible: mapInPandas pipeline / LSH conv)
         "q_naer_triples": _q_naer_triples,
         "q_naer_entities": _q_naer_entities,
@@ -626,6 +705,35 @@ def oracle_sql() -> dict[str, str]:
             "sqrt(list_dot_product(q.qe, q.qe))) DESC, e.vec_id ASC) AS rank "
             "FROM embeddings e CROSS JOIN q) "
             "SELECT query_id, neighbor_id, score, rank FROM scored WHERE rank <= 5"
+        ),
+        "q_reassemble_f3": (
+            "SELECT doc_id, array_to_string(string_split(text, ' ')[1:5], chr(10))"
+            " AS head_text FROM documents"
+        ),
+        "q_none_filter_f5": (
+            "SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL "
+            "AND lang != 'None' AND n_chars > 0"
+        ),
+        "q_change_name_p5": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) "
+            "SELECT doc_id, ws[4] AS name, array_to_string(list_sort("
+            "list_distinct([ws[2], ws[3], ws[1]])), ',') AS aliases "
+            "FROM w WHERE len(ws) >= 4"
+        ),
+        "q_occurrence_lines_a2": (
+            "SELECT o_custkey, array_to_string(list_sort(list_distinct("
+            "list((o_orderkey % 97)::BIGINT))), ',') AS occ_lines "
+            "FROM orders GROUP BY o_custkey"
+        ),
+        "q_lowercase_f7": (
+            "SELECT doc_id, array_to_string(list_sort(list_distinct("
+            "string_split(lower(text), ' '))), ',') AS vocab FROM documents"
+        ),
+        "q_set_ops": (
+            "WITH wo AS (SELECT DISTINCT o_custkey AS k FROM orders), "
+            "pos AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0) "
+            "SELECT (SELECT count(*) FROM (SELECT k FROM wo INTERSECT SELECT k FROM pos))::BIGINT AS n_both, "
+            "(SELECT count(*) FROM pos WHERE k NOT IN (SELECT k FROM wo))::BIGINT AS n_only_positive"
         ),
         "q_alias_cc_j3": (
             "WITH edges0 AS (SELECT 'n:' || n_name AS src, 'r:' || r_name AS dst "

@@ -63,7 +63,9 @@ def detect_mentions_df(
         gaz_map = {}
         default_names = tuple(gazetteer_names)
 
-    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def process(batches):
+        import pyarrow as pa
+
         compiled: dict = {}
 
         def gaz_for(doc_id):
@@ -72,49 +74,59 @@ def detect_mentions_df(
                 compiled[names] = compile_gazetteer(list(names), cfg)
             return compiled[names]
 
-        for pdf in batches:
-            out = {
-                "doc_id": [],
-                "record": [],
-                "name": [],
-                "sent_no": [],
-                "ref_type": [],
-                "rule": [],
-                "alias": [],
-            }
-            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                gaz = gaz_for(doc_id)
-                lines = [s["text"] for s in spans if s["kind"] == "text"]
+        out_schema = pa.schema(
+            [
+                ("doc_id", pa.string()),
+                ("record", pa.string()),
+                ("name", pa.string()),
+                ("sent_no", pa.int32()),
+                ("ref_type", pa.string()),
+                ("rule", pa.string()),
+                ("alias", pa.string()),
+            ]
+        )
+        for batch in batches:
+            # columnar extraction: flatten the list<struct> ONCE per
+            # batch instead of materializing a python dict per span
+            # (the pandas path measurably throttled memory bandwidth
+            # at high core counts)
+            doc_ids = batch.column("doc_id").to_pylist()
+            spans = batch.column("spans")
+            if isinstance(spans, pa.ChunkedArray):
+                spans = spans.combine_chunks()
+            offsets = spans.offsets.to_pylist()
+            structs = spans.values
+            kinds = structs.field("kind").to_pylist()
+            texts = structs.field("text").to_pylist()
+            cols = {k: [] for k in (
+                "doc_id", "record", "name", "sent_no", "ref_type", "rule", "alias"
+            )}
+
+            def emit(doc_id, record, name, sent_no, ref_type, rule, alias):
+                cols["doc_id"].append(doc_id)
+                cols["record"].append(record)
+                cols["name"].append(name)
+                cols["sent_no"].append(sent_no)
+                cols["ref_type"].append(ref_type)
+                cols["rule"].append(rule)
+                cols["alias"].append(alias)
+
+            for r, doc_id in enumerate(doc_ids):
+                lo, hi = offsets[r], offsets[r + 1]
+                lines = [texts[k] for k in range(lo, hi) if kinds[k] == "text"]
                 if validate_format:
                     # F1 validation in the SAME pass (no extra doc scan):
                     # reference fails the doc; we quarantine + count
                     n_bad = sum(1 for ln in lines if not _line_is_valid(ln))
                     if n_bad:
-                        out["doc_id"].append(doc_id)
-                        out["record"].append("quarantined")
-                        out["name"].append("")
-                        out["sent_no"].append(n_bad)
-                        out["ref_type"].append(None)
-                        out["rule"].append("F1")
-                        out["alias"].append(None)
+                        emit(doc_id, "quarantined", "", n_bad, None, "F1", None)
                         continue
+                gaz = gaz_for(doc_id)
                 for sent_no, name, ref, rule in detect_mentions(lines, gaz, cfg):
-                    out["doc_id"].append(doc_id)
-                    out["record"].append("mention")
-                    out["name"].append(name)
-                    out["sent_no"].append(sent_no)
-                    out["ref_type"].append(ref)
-                    out["rule"].append(rule)
-                    out["alias"].append(None)
+                    emit(doc_id, "mention", name, sent_no, ref, rule, None)
                 if cfg.enable_alias_induction:
                     for acro, (name, _rx) in induce_aliases(lines, gaz, cfg).items():
-                        out["doc_id"].append(doc_id)
-                        out["record"].append("alias")
-                        out["name"].append(name)
-                        out["sent_no"].append(None)
-                        out["ref_type"].append(None)
-                        out["rule"].append("R_ALIAS")
-                        out["alias"].append(acro)
-            yield pd.DataFrame(out)
+                        emit(doc_id, "alias", name, None, None, "R_ALIAS", acro)
+            yield pa.RecordBatch.from_pydict(cols, schema=out_schema)
 
-    return docs.mapInPandas(process, schema=MENTIONS)
+    return docs.mapInArrow(process, schema=MENTIONS)

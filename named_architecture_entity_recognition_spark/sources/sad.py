@@ -62,6 +62,42 @@ def read_sad_files(
     return spark.createDataFrame(rows, schema=DOCUMENTS)
 
 
+def discover_projects(root) -> dict:
+    """S8 directory discovery (reference TestProjectEvaluator.java:150-178
+    + GoldstandardParser.java:311-324): find, per project directory,
+    the 1-sent-per-line SAD, the NER gold CSV, and the gazetteer CSV.
+
+    Returns {project: {"sad": Path, "gold": Path, "gazetteer": Path}}.
+    Driver-side (catalog listing), like the reference.
+    """
+    out = {}
+    root = Path(root)
+    for d in sorted(p for p in root.iterdir() if p.is_dir()):
+        try:
+            text_dir = next(
+                p for p in d.iterdir() if p.is_dir() and "text_" in p.name
+            )
+            sad = next(
+                p for p in text_dir.iterdir()
+                if p.name.endswith("_1SentPerLine.txt")
+            )
+            gold = next(
+                p for p in (d / "goldstandards").iterdir()
+                if "goldstandard_NER.csv" in p.name
+            )
+            model_dir = next(
+                p for p in d.iterdir()
+                if p.is_dir() and p.name.startswith("model_")
+            )
+            gaz = model_dir / "uml" / "modelElementID_to_ComponentName.csv"
+            if not gaz.exists():
+                continue
+            out[d.name] = {"sad": sad, "gold": gold, "gazetteer": gaz}
+        except (StopIteration, FileNotFoundError):
+            continue
+    return out
+
+
 def documents_from_text(
     spark: SparkSession, docs: dict, media_every: int = 0
 ) -> DataFrame:

@@ -1,0 +1,68 @@
+"""Source readers: SAD files, gold/gazetteer CSVs, project discovery."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from named_architecture_entity_recognition_spark.sources.csv_sources import (
+    gazetteer_from_names,
+    read_gazetteer_csv,
+    read_gold_csv,
+)
+from named_architecture_entity_recognition_spark.sources.sad import (
+    discover_projects,
+    read_sad_files,
+    split_sentences,
+)
+
+from conftest import EVAL_RESOURCES
+
+
+def test_split_sentences_java_R_semantics():
+    # Java \R matches \r\n, \r, \n, unicode line separators
+    assert split_sentences("a.\r\nb!\rc?\nd.") == ["a.", "b!", "c?", "d."]
+
+
+def test_discover_projects():
+    projects = discover_projects(EVAL_RESOURCES)
+    assert set(projects) == {
+        "bigbluebutton", "jabref", "mediastore", "teammates", "teastore",
+    }
+    for meta in projects.values():
+        assert meta["sad"].exists() and meta["gold"].exists()
+        assert meta["gazetteer"].exists()
+
+
+def test_read_sad_files(spark):
+    projects = discover_projects(EVAL_RESOURCES)
+    df = read_sad_files(spark, [projects["teastore"]["sad"]], media_every=3)
+    row = df.head()
+    texts = [s["text"] for s in row["spans"] if s["kind"] == "text"]
+    # 43 sentences: wc -l reports 42 newlines, final line unterminated
+    assert len(texts) == 43
+    assert texts[0].startswith("The TeaStore consists of 5")
+    media = [s for s in row["spans"] if s["kind"] != "text"]
+    assert media and all(s["media_ref"] for s in media)
+    # offsets strictly increasing from 1
+    offsets = [s["offset"] for s in row["spans"]]
+    assert offsets == list(range(1, len(offsets) + 1))
+
+
+def test_read_gold_csv(spark):
+    projects = discover_projects(EVAL_RESOURCES)
+    gold = read_gold_csv(spark, projects["teastore"]["gold"])
+    rows = gold.collect()
+    assert len(rows) == 27  # BASELINE.md gold count
+    assert {type(r.sentence) for r in rows} == {int}
+
+
+def test_read_gazetteer_csv(spark):
+    projects = discover_projects(EVAL_RESOURCES)
+    gaz = read_gazetteer_csv(spark, projects["teastore"]["gazetteer"])
+    names = {r.name for r in gaz.collect()}
+    assert "WebUI" in names and "Image Provider" in names
+    assert gaz.filter(F.col("entity_type") != "COMPONENT").count() == 0
+
+
+def test_gazetteer_from_names(spark):
+    g = gazetteer_from_names(spark, ["B", "A", "B"])
+    assert [r.name for r in g.orderBy("name").collect()] == ["A", "B"]

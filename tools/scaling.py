@@ -31,8 +31,11 @@ spark = get_spark("naer-scaling", master=f"local[{{cpus}}]",
                   shuffle_partitions=max(cpus * 2, 8))
 spark.sparkContext.setLogLevel("ERROR")
 # generate the corpus once and cache to parquet so both sizes read the
-# exact same bytes (generation excluded from the timed section)
-docs = synth_documents(spark, n_docs, seed=42, partitions=cpus * 2)
+# exact same bytes (generation excluded from the timed section).
+# Fixed split count well above either core count — as on a real
+# cluster, where input splits >> executors; otherwise the file count
+# written by the small run caps the big run's parallelism.
+docs = synth_documents(spark, n_docs, seed=42, partitions=128)
 path = {path!r}
 import os
 if not os.path.exists(path + "/_SUCCESS"):
@@ -51,9 +54,15 @@ spark.stop()
 
 
 def run(cpus: int, n_docs: int, path: str) -> dict:
+    """Run the job with parallelism=cpus, CPU-PINNED to exactly that many
+    cores (taskset): an un-pinned small run would enjoy the whole box for
+    its JVM/Python side work and understate big-run efficiency."""
     code = RUNNER.format(repo=str(REPO), cpus=cpus, n_docs=n_docs, path=path)
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+        ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=3600,
     )
     for line in reversed(out.stdout.strip().splitlines()):
         if line.startswith("{"):
@@ -62,7 +71,7 @@ def run(cpus: int, n_docs: int, path: str) -> dict:
 
 
 def main():
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 8000
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 16000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     path = f"/tmp/naer_scaling_docs_{n_docs}"
     small = run(n, n_docs, path)
