@@ -71,7 +71,10 @@ def run(cpus: int, n_docs: int, path: str) -> dict:
 
 
 def main():
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 16000
+    # long enough that fixed per-run costs (python worker cold start,
+    # job setup — ~8s at 32 procs) amortize as they would on a real
+    # hours-long 100TB job; too-short runs understate big-run efficiency
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 48000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     path = f"/tmp/naer_scaling_docs_{n_docs}"
     small = run(n, n_docs, path)
