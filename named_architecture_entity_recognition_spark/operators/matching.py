@@ -74,6 +74,30 @@ _PRONOUN_START = re.compile(
 _WORD_RE = re.compile(r"[A-Za-z0-9]+")
 _STEM_SUFFIXES = ("ing", "s", "es")
 
+# Copular-definitional sentence ("X is a Java-based application"): such a
+# sentence defines what X *is* rather than what it *does*; a following
+# pronoun sentence tends to be generic commentary the gold standard does
+# not attribute to X (benchmark evidence: every annotated pronoun
+# occurrence has an action-verb antecedent).
+_COPULAR_RE = re.compile(r"\b(is|are)\s+(a|an|the)\b", re.IGNORECASE)
+
+# Opinion-framed sentence ("We think FreeSWITCH is an amazing piece of
+# software"): commentary about the technology, not an architectural
+# reference.
+_OPINION_START = re.compile(r"^\s*we\s+(think|believe|feel)\b", re.IGNORECASE)
+
+# Comparative mention ("systems other than FreeSWITCH"): names the
+# category the entity does NOT refer to in this sentence.
+_THAN_BEFORE = re.compile(r"(?i)\bthan\s+$")
+
+
+def _generic_exact_context(line: str, start: int) -> bool:
+    """True if an exact surface hit at ``start`` is a generic (non-
+    architectural) mention that should not count as an occurrence."""
+    return bool(_THAN_BEFORE.search(line[:start])) or bool(
+        _OPINION_START.match(line)
+    )
+
 
 def normalize_name(s: str) -> str:
     """Collapse to lowercase alphanumerics: 'BBB web' -> 'bbbweb'."""
@@ -390,7 +414,7 @@ def _surface_matches(lv: LineView, entry: GazEntry, cfg: MatcherConfig):
         return out
     if entry.tokens[0] in lv.token_set:
         m = entry.ci_regex.search(line)
-        if m:
+        if m and not _generic_exact_context(line, m.start()):
             return [("R_EXACT", _char_to_token_range(spans, m.start(), m.end()))]
     n_tok = len(entry.tokens)
     norm = entry.norm
@@ -488,6 +512,7 @@ def detect_mentions(lines, gazetteer, cfg: MatcherConfig | None = None):
     out = []
     focus = []  # single focused entity of the previous sentence
     focus_line = -10  # sentence that set the focus (pronoun decay = 1 line)
+    focus_copular = False  # focus was set by a definitional "X is a ..." line
     for sent_no, line in enumerate(lines, 1):
         lv = LineView(line)
         matches = []  # (name, ref, rule, span)
@@ -561,6 +586,10 @@ def detect_mentions(lines, gazetteer, cfg: MatcherConfig | None = None):
                 if (
                     entry.prefix
                     and entry.prefix in lv.token_set
+                    # sentence-initial bare prefix ("WebRTC provides the
+                    # user with ...") is a statement about the technology
+                    # itself, not an anaphoric reference to the component
+                    and lv.low_words[:1] != [entry.prefix]
                     and entry.name not in matched_names
                 ):
                     if re.search(
@@ -576,6 +605,7 @@ def detect_mentions(lines, gazetteer, cfg: MatcherConfig | None = None):
             and cfg.enable_pronoun
             and len(focus) == 1
             and sent_no - focus_line == 1
+            and not focus_copular
         ):
             stripped = line.strip()
             if _PRONOUN_START.match(stripped) and not re.match(
@@ -596,9 +626,11 @@ def detect_mentions(lines, gazetteer, cfg: MatcherConfig | None = None):
             if len({n for _, n in strong}) == 1:
                 focus = [strong[0][1]]
                 focus_line = sent_no
+                focus_copular = bool(_COPULAR_RE.search(line))
             elif strong and strong[0][0] <= 2:
                 focus = [strong[0][1]]
                 focus_line = sent_no
+                focus_copular = bool(_COPULAR_RE.search(line))
             else:
                 focus = []
     return out
