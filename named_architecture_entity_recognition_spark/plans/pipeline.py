@@ -22,7 +22,6 @@ from pyspark.sql import DataFrame
 
 from named_architecture_entity_recognition_spark.operators.entities import (
     assemble_entities,
-    dedup_entities,
 )
 from named_architecture_entity_recognition_spark.operators.matching import MatcherConfig
 from named_architecture_entity_recognition_spark.operators.mentions import (
@@ -52,7 +51,13 @@ class RecognizerPipeline:
         )
 
     def entities(self, docs: DataFrame) -> DataFrame:
-        return dedup_entities(assemble_entities(self.mentions(docs)))
+        # A3 set semantics need no dropDuplicates here: assemble's
+        # groupBy(doc_id, name) already emits one row per key, which
+        # implies uniqueness of the full canonical tuple — the explicit
+        # dedup_entities operator is for parser-sourced entity rows and
+        # would add a second full shuffle of array-bearing rows for
+        # nothing on this path.
+        return assemble_entities(self.mentions(docs))
 
     def triples(self, docs: DataFrame) -> DataFrame:
         return to_triples(self.entities(docs))
