@@ -508,6 +508,149 @@ def _q_simhash(spark, sf):
     return d.select("doc_id", simhash64(F.col("text"), 2).alias("simhash_bits"))
 
 
+def _q_answer_window_f4(spark, sf):
+    """F4 answer windowing: substring between first '[' and last ']'
+    (JsonOutputPrompt.java:79-86), exercised over synthetic payloads."""
+    d = _read(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("noise ["), F.substring("text", 1, 40), F.lit("] tail")
+        ).alias("payload"),
+    )
+    return d.select(
+        "doc_id", F.regexp_extract("payload", r"\[(.*)\]", 1).alias("window")
+    )
+
+
+def _q_json_parse_p1(spark, sf):
+    """P1 JSON entity-array parse (NamedEntityParser.java:39-67): build a
+    real JSON payload, from_json it back, strict-type filter (F5)."""
+    from pyspark.sql.types import (
+        ArrayType, StringType, StructField, StructType,
+    )
+
+    d = _read(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit('[{"name":"'),
+            F.regexp_replace(F.split("text", r"\s+")[0], r'["\\]', ""),
+            F.lit('","type":"COMPONENT"}]'),
+        ).alias("payload"),
+    )
+    schema = ArrayType(
+        StructType(
+            [StructField("name", StringType()), StructField("type", StringType())]
+        )
+    )
+    parsed = d.select(
+        "doc_id", F.explode(F.from_json("payload", schema)).alias("e")
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("e.name").alias("name"),
+        F.col("e.type").alias("entity_type"),
+    ).filter(F.col("e.type").isin("COMPONENT", "INTERFACE", "CLASS"))
+
+
+def _q_structured_parse_p2(spark, sf):
+    """P2 structured-text state-machine parse (NamedEntityParser.java:
+    78-186) over synthetic answer blobs; pandas-UDF per blob, so no SQL
+    oracle (rows-only check)."""
+    from named_architecture_entity_recognition_spark.parsers.answers import (
+        parse_structured_answers,
+    )
+
+    d = _read(spark, sf, "documents").select(
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.concat(
+            F.lit("COMPONENT entities recognized:\n"),
+            F.split("text", r"\s+")[0],
+            F.lit(": occurrence\nAlternative names:\n"),
+            F.split("text", r"\s+")[0],
+            F.lit(": None"),
+        ).alias("answer"),
+    )
+    return parse_structured_answers(d)
+
+
+def _q_media_features(spark, sf):
+    """Multimodal plumbing: interleave deterministic media spans, extract
+    (width, height, embedding) via the Arrow-batched fake decoder
+    (operators/media.py; real decoders are the integration point)."""
+    from named_architecture_entity_recognition_spark.operators.media import (
+        extract_media_features,
+    )
+
+    flat = _read(spark, sf, "documents").limit(200)
+    docs = flat.select(
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("image").alias("kind"),
+                F.lit("").alias("text"),
+                F.concat(F.lit("media://"), F.col("doc_id").cast("string")).alias(
+                    "media_ref"
+                ),
+                F.lit(1).alias("offset"),
+            ),
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.substring("text", 1, 30).alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(2).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    feats = extract_media_features(docs, dim=8)
+    return feats.select("doc_id", "media_ref", "width", "height")
+
+
+def _q_gazetteer_link_j4(spark, sf):
+    """J4 gazetteer-assisted linking as a broadcast hash join: candidate
+    first-words vs a 20-term dictionary of the corpus's most frequent
+    first-words (deterministic), normalized-equality scoring."""
+    d = _read(spark, sf, "documents").select(
+        "doc_id", F.lower(F.split(F.trim("text"), r"\s+")[0]).alias("cand")
+    )
+    gaz = (
+        d.groupBy("cand")
+        .count()
+        .orderBy(F.desc("count"), "cand")
+        .limit(20)
+        .select(F.col("cand").alias("gaz_name"))
+    )
+    return (
+        d.join(F.broadcast(gaz), d.cand == gaz.gaz_name, "inner")
+        .select("doc_id", F.col("gaz_name").alias("linked_name"))
+    )
+
+
+def _q_embed_neardup(spark, sf):
+    """Embedding-cosine near-duplicate pairs (training-data dedup): all
+    (a<b) pairs with cosine >= 0.2 within a deterministic candidate
+    block; at scale the block is an LSH bucket (see q_ann_lsh_topk)."""
+    from named_architecture_entity_recognition_spark.operators.similarity import (
+        cosine,
+    )
+
+    e = (
+        _read(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < 150)
+        # double precision to match the oracle's DOUBLE[] arithmetic at
+        # the threshold boundary (float dot-products differ in ulps)
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    return (
+        pairs.select(
+            "a_id", "b_id", F.round(cosine(F.col("ea"), F.col("eb")), 4).alias("cos")
+        )
+        .filter(F.col("cos") >= 0.2)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_validate_f1": _q_validate_f1,
@@ -545,6 +688,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_naer_entities": _q_naer_entities,
         "q_ann_lsh_topk": _q_ann_lsh_topk,
         "q_simhash": _q_simhash,
+        "q_answer_window_f4": _q_answer_window_f4,
+        "q_json_parse_p1": _q_json_parse_p1,
+        "q_structured_parse_p2": _q_structured_parse_p2,
+        "q_media_features": _q_media_features,
+        "q_gazetteer_link_j4": _q_gazetteer_link_j4,
+        "q_embed_neardup": _q_embed_neardup,
     }
 
 
@@ -745,5 +894,41 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.src, r.m FROM edges e JOIN r ON e.dst = r.node) "
             "SELECT node, min(m) AS component FROM r GROUP BY node) "
             "SELECT node, component FROM reach"
+        ),
+        "q_answer_window_f4": (
+            "WITH p AS (SELECT doc_id, 'noise [' || substr(text, 1, 40) || '] tail'"
+            " AS payload FROM documents) "
+            "SELECT doc_id, regexp_extract(payload, '\\[(.*)\\]', 1) AS window FROM p"
+        ),
+        "q_json_parse_p1": (
+            "WITH p AS (SELECT doc_id, '[{\"name\":\"' || "
+            "regexp_replace(string_split_regex(text, '\\s+')[1], '[\"\\\\]', '', 'g')"
+            " || '\",\"type\":\"COMPONENT\"}]' AS payload FROM documents) "
+            "SELECT doc_id, "
+            "json_extract_string(payload, '$[0].name') AS name, "
+            "json_extract_string(payload, '$[0].type') AS entity_type FROM p "
+            "WHERE json_extract_string(payload, '$[0].type') IN "
+            "('COMPONENT','INTERFACE','CLASS')"
+        ),
+        "q_gazetteer_link_j4": (
+            "WITH cand AS (SELECT doc_id, "
+            "lower(string_split_regex(trim(text), '\\s+')[1]) AS cand "
+            "FROM documents), "
+            "gaz AS (SELECT cand AS gaz_name FROM cand GROUP BY cand "
+            "ORDER BY count(*) DESC, cand LIMIT 20) "
+            "SELECT c.doc_id, g.gaz_name AS linked_name "
+            "FROM cand c JOIN gaz g ON c.cand = g.gaz_name"
+        ),
+        "q_embed_neardup": (
+            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings "
+            "WHERE vec_id < 150) "
+            "SELECT a.vec_id AS a_id, b.vec_id AS b_id, "
+            "round(list_dot_product(a.v, b.v) / "
+            "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)"
+            "::DOUBLE AS cos "
+            "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+            "WHERE round(list_dot_product(a.v, b.v) / "
+            "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)"
+            " >= 0.2"
         ),
     }
