@@ -144,10 +144,20 @@ def detect_mentions_df(
             gc.enable()
             gc.collect()
 
-    slim = docs.select(
-        "doc_id",
-        F.expr("transform(filter(spans, s -> s.kind = 'text'), s -> s.text)").alias(
-            "sents"
+    # reference only spans.text / spans.kind (GetArrayStructFields) so
+    # nested schema pruning reaches the parquet scan: ReadSchema becomes
+    # struct<kind,text> — media_ref/offset bytes are never decoded.
+    # (filter(spans, s -> ...) over the whole struct defeats pruning.)
+    sents = F.transform(
+        F.filter(
+            F.zip_with(
+                F.col("spans").getField("text"),
+                F.col("spans").getField("kind"),
+                lambda t, k: F.struct(t.alias("t"), k.alias("k")),
+            ),
+            lambda x: x["k"] == F.lit("text"),
         ),
+        lambda x: x["t"],
     )
+    slim = docs.select("doc_id", sents.alias("sents"))
     return slim.mapInArrow(process, schema=MENTIONS)

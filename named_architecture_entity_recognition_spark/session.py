@@ -23,6 +23,9 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
     # docs are wide rows (span arrays); keep scan partitions moderate
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # prune unused nested struct fields through expressions so the
+    # detection scan reads only spans.kind + spans.text (off by default)
+    "spark.sql.optimizer.expression.nestedPruning.enabled": "true",
     "spark.sql.shuffle.partitions": "32",
     # deterministic timezone for reproducible hashing
     "spark.sql.session.timeZone": "UTC",

@@ -1,0 +1,75 @@
+"""Property test for the inverted-index candidate generation: for ANY
+gazetteer and line, every entry that would produce a surface match must
+appear in GazIndex.candidates() — the index may over-approximate but
+never under-approximate (else mentions are silently lost).
+
+Pure-Python (no Spark session), so hypothesis can run many examples.
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from named_architecture_entity_recognition_spark.operators.matching import (
+    GazIndex,
+    LineView,
+    MatcherConfig,
+    _surface_matches,
+    compile_gazetteer,
+)
+
+CFG = MatcherConfig()
+
+name_part = st.sampled_from(
+    ["Alpha", "BBB", "WebRTC", "Hub", "Provider", "FSESL", "client",
+     "logic", "pro14", "Data", "Store", "X9"]
+)
+name_strategy = st.builds(
+    lambda parts, sep: sep.join(parts),
+    st.lists(name_part, min_size=1, max_size=3),
+    st.sampled_from([" ", "-", ""]),
+)
+
+word = st.sampled_from(
+    ["the", "Alpha", "BBBHub", "bbb-hub", "WebRTC", "web", "rtc",
+     "AlphaProvider", "alphaprovider", "fsels", "FSESL", "client",
+     "Provider", "pro14", "DataStore", "datastores", "X9", "connects",
+     "to", "It", "processes", "requests", "provider's", "A.B",
+     "BigBlueButton", "Alpha Provider", "re-encoding"]
+)
+line_strategy = st.builds(
+    lambda ws: " ".join(ws) + ".",
+    st.lists(word, min_size=1, max_size=12),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    names=st.lists(name_strategy, min_size=1, max_size=12, unique=True),
+    line=line_strategy,
+)
+def test_candidates_never_drop_a_matching_entry(names, line):
+    gaz = compile_gazetteer(names, CFG)
+    assert isinstance(gaz, GazIndex)
+    lv = LineView(line)
+    cand_ids = {id(e) for e in gaz.candidates(lv, CFG)}
+    for entry in gaz:
+        if _surface_matches(lv, entry, CFG):
+            assert id(entry) in cand_ids, (
+                f"entry {entry.name!r} matches line {line!r} "
+                f"but was not generated as a candidate"
+            )
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    names=st.lists(name_strategy, min_size=1, max_size=8, unique=True),
+    line=line_strategy,
+)
+def test_candidates_deterministic_and_ordered(names, line):
+    gaz = compile_gazetteer(names, CFG)
+    lv = LineView(line)
+    c1 = [e.name for e in gaz.candidates(lv, CFG)]
+    c2 = [e.name for e in gaz.candidates(LineView(line), CFG)]
+    assert c1 == c2
+    order = {e.name: i for i, e in enumerate(gaz)}
+    assert c1 == sorted(c1, key=order.__getitem__)

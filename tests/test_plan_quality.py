@@ -89,3 +89,25 @@ def test_aggregation_is_partial_then_final(spark):
     plan = plan_of(q)
     assert "partial_sum" in plan.lower() or "HashAggregate" in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_detection_scan_prunes_nested_media_fields(spark, tmp_path):
+    """The detection stage's parquet scan must read only spans.kind +
+    spans.text — media_ref/offset bytes never decoded (mentions.py slim
+    projection + expression nested pruning)."""
+    from named_architecture_entity_recognition_spark.operators.mentions import (
+        detect_mentions_df,
+    )
+    from named_architecture_entity_recognition_spark.schema import DOCUMENTS
+    from named_architecture_entity_recognition_spark.sources.sad import doc_row
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [doc_row("d1", ["One line."], media_every=1)], DOCUMENTS
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
+    plan = plan_of(detect_mentions_df(docs, ["One"]))
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, plan
+    assert "media_ref" not in read_schema[0], read_schema[0]
+    assert "text" in read_schema[0] and "kind" in read_schema[0]
