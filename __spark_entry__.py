@@ -651,6 +651,57 @@ def _q_embed_neardup(spark, sf):
     )
 
 
+def _q_salted_join_skew(spark, sf):
+    """Explicit skew handling (north_rule): orders.o_orderpriority has 5
+    ultra-hot values; the salted join spreads each over n_salts reducers
+    while the tiny dim is replicated. Result must equal a plain join."""
+    from named_architecture_entity_recognition_spark.operators.skew import (
+        salted_join,
+    )
+
+    o = _read(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    dim = (
+        o.select(F.col("o_orderpriority"))
+        .distinct()
+        .withColumn("prio_class", F.upper(F.substring("o_orderpriority", 1, 1)))
+    )
+    joined = salted_join(o, dim, on=["o_orderpriority"], n_salts=8)
+    return (
+        joined.groupBy("o_orderpriority", "prio_class")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def _q_salted_count_skew(spark, sf):
+    """Two-phase salted count for hot keys: partial per (key, salt),
+    final per key (operators/skew.py salted_count)."""
+    from named_architecture_entity_recognition_spark.operators.skew import (
+        salted_count,
+    )
+
+    li = _read(spark, sf, "lineitem").select("l_returnflag")
+    return salted_count(li, ["l_returnflag"], n_salts=8)
+
+
+def _q_prompt_assembly_p6(spark, sf):
+    """P6 prompt assembly (recognizer/Prompt.java:56-85): group the
+    dictionary by type, render '<type> entities: n1, n2, ...' with
+    deterministic name order."""
+    n = _read(spark, sf, "nation")
+    r = _read(spark, sf, "region")
+    j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return (
+        j.groupBy(F.col("r_name").alias("entity_type"))
+        .agg(
+            F.concat(
+                F.col("r_name"),
+                F.lit(" entities: "),
+                F.concat_ws(", ", F.array_sort(F.collect_list("n_name"))),
+            ).alias("prompt_line")
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_validate_f1": _q_validate_f1,
@@ -694,6 +745,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_features": _q_media_features,
         "q_gazetteer_link_j4": _q_gazetteer_link_j4,
         "q_embed_neardup": _q_embed_neardup,
+        "q_salted_join_skew": _q_salted_join_skew,
+        "q_salted_count_skew": _q_salted_count_skew,
+        "q_prompt_assembly_p6": _q_prompt_assembly_p6,
     }
 
 
@@ -930,5 +984,22 @@ def oracle_sql() -> dict[str, str]:
             "WHERE round(list_dot_product(a.v, b.v) / "
             "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)"
             " >= 0.2"
+        ),
+        "q_salted_join_skew": (
+            "WITH dim AS (SELECT DISTINCT o_orderpriority, "
+            "upper(substr(o_orderpriority, 1, 1)) AS prio_class FROM orders) "
+            "SELECT o.o_orderpriority, d.prio_class, count(*)::BIGINT AS n "
+            "FROM orders o JOIN dim d ON o.o_orderpriority = d.o_orderpriority "
+            "GROUP BY o.o_orderpriority, d.prio_class"
+        ),
+        "q_salted_count_skew": (
+            "SELECT l_returnflag, count(*)::BIGINT AS n FROM lineitem "
+            "GROUP BY l_returnflag"
+        ),
+        "q_prompt_assembly_p6": (
+            "SELECT r.r_name AS entity_type, r.r_name || ' entities: ' || "
+            "string_agg(n.n_name, ', ' ORDER BY n.n_name) AS prompt_line "
+            "FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "GROUP BY r.r_name"
         ),
     }
