@@ -81,3 +81,21 @@ def test_occurrences_sorted(results):
         F.col("occurrences") != F.array_sort("occurrences")
     ).count()
     assert bad == 0
+
+
+def test_results_invariant_under_partitioning(spark):
+    """SURVEY §5: identical triples regardless of input partitioning —
+    no operator may depend on row co-location or partition order."""
+    from named_architecture_entity_recognition_spark.synth import (
+        synth_documents,
+        synth_gazetteer,
+    )
+
+    gaz = synth_gazetteer(40)
+    pipe = RecognizerPipeline(gaz, validate=True)
+    docs1 = synth_documents(spark, 80, seed=9, partitions=2)
+    docs2 = synth_documents(spark, 80, seed=9, partitions=13)
+    t1 = pipe.triples(docs1).select("subj", "pred", "obj")
+    t2 = pipe.triples(docs2).select("subj", "pred", "obj")
+    assert t1.exceptAll(t2).count() == 0
+    assert t2.exceptAll(t1).count() == 0
