@@ -66,3 +66,28 @@ def test_read_gazetteer_csv(spark):
 def test_gazetteer_from_names(spark):
     g = gazetteer_from_names(spark, ["B", "A", "B"])
     assert [r.name for r in g.orderBy("name").collect()] == ["A", "B"]
+
+
+def test_lakehouse_roundtrip_and_pred_pruning(spark, tmp_path):
+    """Parquet-fallback triple write partitions by pred; a pred filter
+    prunes to one partition directory (PartitionFilters in the scan)."""
+    from named_architecture_entity_recognition_spark.sources.lakehouse import (
+        iceberg_available,
+        read_triples,
+        write_triples,
+    )
+
+    triples = spark.createDataFrame(
+        [("d1#a", "instanceOf", "COMPONENT"), ("d1#a", "hasName", "a")],
+        "subj string, pred string, obj string",
+    )
+    target = str(tmp_path / "triples")
+    write_triples(triples, target)
+    back = read_triples(spark, target)
+    assert back.count() == 2
+    assert "subj_bucket" in back.columns
+    q = back.filter(back.pred == "hasName")
+    assert q.count() == 1
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(pred" in plan
+    assert not iceberg_available(spark)  # sandbox: no runtime jar

@@ -80,10 +80,11 @@ def main(argv=None):
     else:
         if not args.input:
             ap.error("--input or --synth required")
-        if "/" in args.input:
-            docs = spark.read.parquet(args.input)
-        else:
-            docs = spark.read.table(args.input)
+        from named_architecture_entity_recognition_spark.sources.lakehouse import (
+            read_documents,
+        )
+
+        docs = read_documents(spark, args.input)
         gaz = load_gazetteer(args.gazetteer) if args.gazetteer else []
 
     t0 = time.time()
@@ -91,7 +92,11 @@ def main(argv=None):
         docs, gaz, args.checkpoint, n_buckets=args.n_buckets
     )
     n = triples.count()
-    triples.write.mode("overwrite").partitionBy("pred").parquet(args.output)
+    from named_architecture_entity_recognition_spark.sources.lakehouse import (
+        write_triples,
+    )
+
+    write_triples(triples.select("subj", "pred", "obj"), args.output)
     dt = time.time() - t0
     metrics = {}
     for stage in ("mentions", "entities", "triples"):
