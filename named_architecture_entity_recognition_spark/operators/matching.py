@@ -192,10 +192,20 @@ class GazIndex:
         def post(idx, key, item):
             idx.setdefault(key, []).append(item)
 
+        # dictionary-wide token frequencies: the exact trigger posts each
+        # entry under its RAREST token, so shared stems ("Alpha ...") do
+        # not fan a line's candidate set out to every sibling name. An
+        # R_EXACT match requires every token present, so triggering on
+        # the rarest one loses nothing.
+        tok_freq: dict = {}
+        for e in self.entries:
+            for t in set(e.tokens):
+                tok_freq[t] = tok_freq.get(t, 0) + 1
+
         for i, e in enumerate(self.entries):
             it = (i, e)
             # surface-token trigger (only path open to ambiguous names)
-            post(self.exact_idx, e.tokens[0], it)
+            post(self.exact_idx, min(e.tokens, key=lambda t: (tok_freq[t], e.tokens.index(t))), it)
             if e.head:
                 post(self.head_idx, e.head, it)
             if e.camel_head:
@@ -213,9 +223,16 @@ class GazIndex:
             # all-caps acronym expanded by a window's initials (R_EXPAND)
             if e.name.isupper() and 3 <= len(e.norm) <= 6:
                 post(self.expand_idx, e.norm, it)
-            # stem probes share the norm's 4-char prefix
+            # stem probes indexed by the exact probe strings the rule
+            # cascade tests (stem+suffix), so a window triggers an entry
+            # iff the probe would hit — no prefix fan-out
             if cfg.enable_stem and len(e.norm) >= cfg.stem_min_prefix:
-                post(self.stem_idx, e.norm[:4], it)
+                for k in (1, 2):
+                    stem = e.norm[:-k]
+                    for suf in _STEM_SUFFIXES:
+                        cand = stem + suf
+                        if cand != e.norm:
+                            post(self.stem_idx, cand, it)
             if len(e.norm) >= 6:
                 post(self.compound_idx, e.norm[:6], it)
             # char-set Jaccard >= 0.90 between strings of <=6/<=7 unique
@@ -245,6 +262,9 @@ class GazIndex:
         for acc in wn:
             for i, e in self.norm_idx.get(acc, ()):
                 found[i] = e
+            if self.stem_idx:
+                for i, e in self.stem_idx.get(acc, ()):
+                    found[i] = e
             if self.fuzzy_idx and self.fuzzy_strict and 3 <= len(acc) <= 7:
                 for i, e in self.fuzzy_idx.get(frozenset(acc), ()):
                     found[i] = e
@@ -261,10 +281,6 @@ class GazIndex:
                 if key in iw:
                     for i, e in posts:
                         found[i] = e
-        if self.stem_idx:
-            for p in lv.prefix4:
-                for i, e in self.stem_idx.get(p, ()):
-                    found[i] = e
         if self.compound_idx:
             for p6 in lv.tok_prefix6():
                 for i, e in self.compound_idx.get(p6, ()):
@@ -559,7 +575,9 @@ def _surface_matches(lv: LineView, entry: GazEntry, cfg: MatcherConfig):
                         ("R_EXACT", _char_to_token_range(spans, m.start(), m.end()))
                     )
         return out
-    if entry.tokens[0] in lv.token_set:
+    # every token present is a necessary condition for the boundary
+    # regex; cheap set membership skips the regex for near-miss lines
+    if all(t in lv.token_set for t in entry.tokens):
         m = entry.ci_regex.search(line)
         if m and not _generic_exact_context(line, m.start()):
             return [("R_EXACT", _char_to_token_range(spans, m.start(), m.end()))]
