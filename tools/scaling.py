@@ -87,8 +87,11 @@ def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 48000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     path = f"/tmp/naer_scaling_docs_{n_docs}"
-    small = run(n, n_docs, path)
-    big = run(n * 4, n_docs, path)
+    # the wide leg is ~3x cheaper per repeat and ~4x more exposed to a
+    # host-steal spike stalling a whole wave, so it gets more repeats;
+    # min over repeats estimates the steal-free cost either way
+    small = run(n, n_docs, path, repeats=5)
+    big = run(n * 4, n_docs, path, repeats=12)
     eff = round(small["sec"] / big["sec"] / 4, 3)
     print(
         json.dumps(
