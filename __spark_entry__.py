@@ -702,6 +702,17 @@ def _q_prompt_assembly_p6(spark, sf):
     )
 
 
+def _q_windowed_events(spark, sf):
+    """Event-time tumbling-window aggregation (streaming operator's
+    batch form — streaming/stream.py windowed_event_counts)."""
+    from named_architecture_entity_recognition_spark.streaming.stream import (
+        windowed_event_counts,
+    )
+
+    ev = _read(spark, sf, "events")
+    return windowed_event_counts(ev, window="1 hour", watermark="1 hour")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_validate_f1": _q_validate_f1,
@@ -748,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_join_skew": _q_salted_join_skew,
         "q_salted_count_skew": _q_salted_count_skew,
         "q_prompt_assembly_p6": _q_prompt_assembly_p6,
+        "q_windowed_events": _q_windowed_events,
     }
 
 
@@ -1001,5 +1013,12 @@ def oracle_sql() -> dict[str, str]:
             "string_agg(n.n_name, ', ' ORDER BY n.n_name) AS prompt_line "
             "FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey "
             "GROUP BY r.r_name"
+        ),
+        "q_windowed_events": (
+            "SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, "
+            "time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end, "
+            "event_type, count(*)::BIGINT AS n_events, "
+            "round(sum(value), 4) AS sum_value "
+            "FROM events GROUP BY 1, 2, 3"
         ),
     }

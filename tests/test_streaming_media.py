@@ -74,3 +74,51 @@ def test_streaming_incremental_triples(spark, docs, tmp_path):
 
     batch_n = RecognizerPipeline(gaz).triples(docs).count()
     assert n2 == batch_n
+
+
+def test_windowed_event_counts_stream_matches_batch(spark, tmp_path):
+    """Streaming windowed agg with watermark (availableNow drain) equals
+    the same aggregation run in batch over closed windows."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from named_architecture_entity_recognition_spark.streaming.stream import (
+        run_windowed_counts_stream,
+        windowed_event_counts,
+    )
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(minutes=i * 3), i % 4, "click" if i % 2 else "view",
+         float(i))
+        for i in range(40)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    src = str(tmp_path / "events")
+    events.repartition(3).write.parquet(src)
+
+    out = str(tmp_path / "agg")
+    run_windowed_counts_stream(
+        spark, src, out, str(tmp_path / "ckpt"), window="10 minutes",
+        watermark="5 minutes",
+    )
+    got = spark.read.parquet(out)
+    batch = windowed_event_counts(
+        spark.read.parquet(src), window="10 minutes", watermark="5 minutes"
+    )
+    # the final (open) window is withheld by the watermark in streaming
+    # append mode; every window the stream emitted must match batch
+    j = got.join(
+        batch.withColumnRenamed("n_events", "n_b").withColumnRenamed(
+            "sum_value", "s_b"
+        ),
+        ["window_start", "window_end", "event_type"],
+    )
+    assert got.count() > 0
+    assert j.count() == got.count()
+    assert j.filter(
+        (F.col("n_events") != F.col("n_b")) | (F.col("sum_value") != F.col("s_b"))
+    ).count() == 0
