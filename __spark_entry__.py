@@ -713,6 +713,17 @@ def _q_windowed_events(spark, sf):
     return windowed_event_counts(ev, window="1 hour", watermark="1 hour")
 
 
+def _q_sessionize(spark, sf):
+    """Session windows, batch form (streaming/sessions.py — the custom
+    applyInPandasWithState operator's cross-check semantics)."""
+    from named_architecture_entity_recognition_spark.streaming.sessions import (
+        sessionize_batch,
+    )
+
+    ev = _read(spark, sf, "events").select("user_id", "ts", "value")
+    return sessionize_batch(ev, gap_minutes=30)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_validate_f1": _q_validate_f1,
@@ -760,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_count_skew": _q_salted_count_skew,
         "q_prompt_assembly_p6": _q_prompt_assembly_p6,
         "q_windowed_events": _q_windowed_events,
+        "q_sessionize": _q_sessionize,
     }
 
 
@@ -1020,5 +1032,17 @@ def oracle_sql() -> dict[str, str]:
             "event_type, count(*)::BIGINT AS n_events, "
             "round(sum(value), 4) AS sum_value "
             "FROM events GROUP BY 1, 2, 3"
+        ),
+        "q_sessionize": (
+            "WITH g AS (SELECT user_id, ts, value, "
+            "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+            ">= INTERVAL '30 minutes' OR "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+            "THEN 1 ELSE 0 END AS is_new FROM events), "
+            "s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS session_no FROM g) "
+            "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, "
+            "count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value "
+            "FROM s GROUP BY user_id, session_no"
         ),
     }

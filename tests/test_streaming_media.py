@@ -122,3 +122,48 @@ def test_windowed_event_counts_stream_matches_batch(spark, tmp_path):
     assert j.filter(
         (F.col("n_events") != F.col("n_b")) | (F.col("sum_value") != F.col("s_b"))
     ).count() == 0
+
+
+def test_stateful_sessionization_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState session windows: every session the stream
+    closes must match the batch window-function sessionization; the
+    final (open) session per user stays in state."""
+    import datetime as dt
+
+    from named_architecture_entity_recognition_spark.streaming.sessions import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    for u in range(3):
+        t = base + dt.timedelta(minutes=u)
+        for s in range(3):
+            for i in range(4):
+                rows.append((u, t, float(u * 100 + s * 10 + i)))
+                t += dt.timedelta(minutes=5)
+            t += dt.timedelta(minutes=45)
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    src, out, ckpt = (str(tmp_path / p) for p in ("src", "out", "ckpt"))
+    ev.repartition(2).write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        sessionize_stream(stream, watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    batch = sessionize_batch(spark.read.parquet(src))
+    assert got.count() == 6  # 2 closed + 1 still-open session per user
+    assert batch.count() == 9
+    j = got.join(
+        batch, ["user_id", "session_start", "session_end", "n_events"], "inner"
+    )
+    assert j.count() == got.count()
