@@ -67,7 +67,7 @@ _AMBIGUOUS_WORDS = {
 _ROLE_HEADS = {"client", "server", "datastore", "database", "db", "ui", "gui"}
 
 _PRONOUN_START = re.compile(
-    r"^(it|(as such|furthermore|additionally|moreover|finally|also),?\s+it)\b[^s]",
+    r"^(it|(as such|furthermore|additionally|moreover|finally|also|in particular),?\s+it)\b",
     re.IGNORECASE,
 )
 
@@ -790,9 +790,7 @@ def detect_doc(lines, gazetteer, cfg: MatcherConfig | None = None):
             and not focus_copular
         ):
             stripped = line.strip()
-            if _PRONOUN_START.match(stripped) and not re.match(
-                r"(?i)^it\s+is\b", stripped
-            ):
+            if _PRONOUN_START.match(stripped):
                 kept.append((focus[0], INDIRECT, "R_PRONOUN", (-1, -1)))
         for name, ref, rule, _ in kept:
             out.append((sent_no, name, ref, rule))

@@ -69,11 +69,26 @@ def test_pronoun_inheritance_single_focus():
     assert (2, "Persistence", "INDIRECT", "R_PRONOUN") in out
 
 
-def test_pronoun_not_for_it_is():
+def test_pronoun_follows_action_antecedent():
+    # gold-annotated shape (teastore s27-28): "The X <verbs> ..." then
+    # "It is trained ..." — the pronoun inherits the focus
     out = detect(
         [
-            "The Recommender is used to generate recommendations.",
+            "The Recommender uses a rating matrix to generate recommendations.",
             "It is trained using all existing orders.",
+        ],
+        ["Recommender"],
+    )
+    assert (2, "Recommender", "INDIRECT", "R_PRONOUN") in out
+
+
+def test_pronoun_blocked_by_copular_antecedent():
+    # "X is a <kind> ..." definitional antecedent: the following pronoun
+    # sentence is generic commentary (bigbluebutton s35-36 gold shape)
+    out = detect(
+        [
+            "The Recommender is a Java-based application written in Scala.",
+            "It implements the recommendation API.",
         ],
         ["Recommender"],
     )
