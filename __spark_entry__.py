@@ -724,6 +724,26 @@ def _q_sessionize(spark, sf):
     return sessionize_batch(ev, gap_minutes=30)
 
 
+def _q_brand_volume(spark, sf):
+    """Fact-to-dims star join: lineitem x broadcast(part) x
+    broadcast(supplier->nation), grouped revenue per (brand, nation)."""
+    li = _read(spark, sf, "lineitem")
+    p = _read(spark, sf, "part")
+    su = _read(spark, sf, "supplier")
+    n = _read(spark, sf, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n), su.s_nationkey == n.n_nationkey)
+        .groupBy("p_brand", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_validate_f1": _q_validate_f1,
@@ -772,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_prompt_assembly_p6": _q_prompt_assembly_p6,
         "q_windowed_events": _q_windowed_events,
         "q_sessionize": _q_sessionize,
+        "q_brand_volume": _q_brand_volume,
     }
 
 
@@ -1044,5 +1065,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, "
             "count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value "
             "FROM s GROUP BY user_id, session_no"
+        ),
+        "q_brand_volume": (
+            "SELECT p.p_brand, n.n_name, "
+            "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue, "
+            "count(*)::BIGINT AS n_items "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "GROUP BY p.p_brand, n.n_name"
         ),
     }
