@@ -115,3 +115,50 @@ def canonicalize_aliases(entities: DataFrame) -> DataFrame:
     return with_key.join(comp, "node", "left").withColumn(
         "component", F.coalesce("component", F.col("node"))
     ).drop("node")
+
+
+def canonicalize_corpus(entities: DataFrame) -> DataFrame:
+    """Corpus-level entity linking (north_star: "abbreviation/case
+    canonicalization with connected-components union over alias edges"):
+    entities from DIFFERENT docs unify when any of their surface forms
+    (name or alias), case/hyphen/space-collapsed, coincide.
+
+    Bipartite edges (doc#name) --- (name:<normalized surface>); CC over
+    the union converges in ~2 propagation rounds (star-shaped
+    components). Adds ``canonical_id``: the component's min label, a
+    deterministic corpus-wide entity id. Hot surfaces make wide stars,
+    which the min-aggregation handles with map-side partial aggs (no
+    single-reducer hotspot).
+    """
+    def norm_col(c):
+        # normalize_name in SQL: strip non-alnum, lowercase
+        return F.lower(F.regexp_replace(c, r"[^A-Za-z0-9]+", ""))
+
+    with_key = entities.withColumn(
+        "node", F.concat_ws("#", "doc_id", F.lower("name"))
+    )
+    surfaces = with_key.select(
+        F.col("node").alias("src"),
+        F.explode(
+            F.array_union(F.array(F.col("name")), F.col("alternative_names"))
+        ).alias("surface"),
+    ).select(
+        "src",
+        F.concat(F.lit("name:"), norm_col(F.col("surface"))).alias("dst"),
+    )
+    comp = connected_components(surfaces)
+    return (
+        with_key.join(comp, "node", "left")
+        .withColumn("canonical_id", F.coalesce("component", F.col("node")))
+        .drop("component")
+        .withColumnRenamed("node", "entity_id")
+    )
+
+
+def sameas_triples(canonical: DataFrame) -> DataFrame:
+    """(entity_id, sameAs, canonical_id) rows for linked entities."""
+    return canonical.select(
+        F.col("entity_id").alias("subj"),
+        F.lit("sameAs").alias("pred"),
+        F.col("canonical_id").alias("obj"),
+    )

@@ -59,5 +59,18 @@ class RecognizerPipeline:
         # nothing on this path.
         return assemble_entities(self.mentions(docs))
 
-    def triples(self, docs: DataFrame) -> DataFrame:
-        return to_triples(self.entities(docs))
+    def triples(self, docs: DataFrame, canonicalize: bool = False) -> DataFrame:
+        """KG triples; with ``canonicalize=True`` the corpus-level
+        entity-linking stage (CC over alias edges, operators/cc.py)
+        additionally emits (entity_id, sameAs, canonical_id) triples
+        unifying the same component across documents."""
+        ents = assemble_entities(self.mentions(docs))
+        out = to_triples(ents)
+        if canonicalize:
+            from named_architecture_entity_recognition_spark.operators.cc import (
+                canonicalize_corpus,
+                sameas_triples,
+            )
+
+            out = out.unionByName(sameas_triples(canonicalize_corpus(ents)))
+        return out

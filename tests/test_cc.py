@@ -58,3 +58,51 @@ def test_canonicalize_aliases_unifies_pools(spark):
     assert comp[("d1", "WebUI")] == comp[("d1", "Web User Interface")]
     assert comp[("d1", "Auth")] != comp[("d1", "WebUI")]
     assert comp[("d2", "WebUI")] != comp[("d1", "WebUI")]  # doc-scoped
+
+
+def test_corpus_canonicalization_links_across_docs(spark):
+    """north_star: the same component mentioned with different surface
+    conventions in different docs unifies under one canonical_id, via
+    CC over normalized name/alias edges; unrelated entities stay apart."""
+    from named_architecture_entity_recognition_spark.operators.cc import (
+        canonicalize_corpus,
+        sameas_triples,
+    )
+
+    ents = spark.createDataFrame(
+        [
+            ("d1", "BBB web", "COMPONENT", [], []),
+            ("d2", "bbb-web", "COMPONENT", [], []),
+            ("d3", "WebPortal", "COMPONENT", ["BBB Web"], []),
+            ("d4", "Recommender", "COMPONENT", [], []),
+        ],
+        "doc_id string, name string, entity_type string, "
+        "alternative_names array<string>, occurrences array<struct<sent_no:int,ref_type:string>>",
+    )
+    canon = canonicalize_corpus(ents).select("doc_id", "name", "canonical_id")
+    rows = {r.doc_id: r.canonical_id for r in canon.collect()}
+    assert rows["d1"] == rows["d2"] == rows["d3"]
+    assert rows["d4"] != rows["d1"]
+    triples = sameas_triples(canonicalize_corpus(ents))
+    assert triples.filter("pred = 'sameAs'").count() == 4
+
+
+def test_pipeline_canonicalize_flag_adds_sameas(spark):
+    from named_architecture_entity_recognition_spark.plans.pipeline import (
+        RecognizerPipeline,
+    )
+    from named_architecture_entity_recognition_spark.schema import DOCUMENTS
+    from named_architecture_entity_recognition_spark.sources.sad import doc_row
+
+    docs = spark.createDataFrame(
+        [
+            doc_row("a", ["The BBB web routes calls."]),
+            doc_row("b", ["Here bbb-web handles requests."]),
+        ],
+        DOCUMENTS,
+    )
+    pipe = RecognizerPipeline(["BBB web"])
+    t = pipe.triples(docs, canonicalize=True)
+    same = t.filter("pred = 'sameAs'").select("obj").distinct()
+    assert t.filter("pred = 'sameAs'").count() == 2
+    assert same.count() == 1  # both docs' entities share one canonical id
