@@ -90,6 +90,10 @@ _OPINION_START = re.compile(r"^\s*we\s+(think|believe|feel)\b", re.IGNORECASE)
 # category the entity does NOT refer to in this sentence.
 _THAN_BEFORE = re.compile(r"(?i)\bthan\s+$")
 
+# Possessive determiner right before a common-word name ("his
+# preferences", "their data"): a person's belongings, not the component.
+_POSSESSIVE_BEFORE = re.compile(r"(?i)\b(his|her|their|its|my|your)\s+$")
+
 
 def _generic_exact_context(line: str, start: int) -> bool:
     """True if an exact surface hit at ``start`` is a generic (non-
@@ -97,6 +101,10 @@ def _generic_exact_context(line: str, start: int) -> bool:
     return bool(_THAN_BEFORE.search(line[:start])) or bool(
         _OPINION_START.match(line)
     )
+
+
+def _possessive_before(line: str, start: int) -> bool:
+    return bool(_POSSESSIVE_BEFORE.search(line[:start]))
 
 
 def normalize_name(s: str) -> str:
@@ -568,7 +576,11 @@ def _surface_matches(lv: LineView, entry: GazEntry, cfg: MatcherConfig):
             out.append(("R_EXACT", _char_to_token_range(spans, m.start(), m.end())))
         else:
             m = entry.cs_regex.search(line)
-            if m and not entry.pkg_regex.search(lv.low):
+            if (
+                m
+                and not entry.pkg_regex.search(lv.low)
+                and not _possessive_before(line, m.start())
+            ):
                 tail = line[m.end():]
                 if not re.match(r"[\s\-]+(tests?|testing)\b", tail, re.IGNORECASE):
                     out.append(
