@@ -180,11 +180,13 @@ class GazIndex:
     __slots__ = (
         "entries", "exact_idx", "norm_idx", "acr_tok_idx", "expand_idx",
         "stem_idx", "compound_idx", "fuzzy_idx", "fuzzy_strict",
-        "head_idx", "camel_head_idx", "prefix_idx",
+        "head_idx", "camel_head_idx", "prefix_idx", "line_cache", "cfg",
     )
 
     def __init__(self, entries, cfg: "MatcherConfig"):
         self.entries = list(entries)
+        self.cfg = cfg
+        self.line_cache: dict = {}  # line -> (kept, has_strong, copular)
         self.fuzzy_strict = cfg.fuzzy_threshold >= 0.87
         self.exact_idx: dict = {}
         self.norm_idx: dict = {}
@@ -687,113 +689,154 @@ def detect_mentions(lines, gazetteer, cfg: MatcherConfig | None = None):
     return detect_doc(lines, gazetteer, cfg)[0]
 
 
+def _match_line(line, gazetteer: "GazIndex", cfg: MatcherConfig):
+    """Context-free per-line matching: surface rules + subsumption +
+    head-noun/prefix anaphora. Depends ONLY on (line, gazetteer, cfg) —
+    doc-sequential state (pronouns, doc-induced aliases) is layered on
+    by ``detect_doc``. Returns (kept, has_strong, copular) where kept is
+    the emit-ready match list.
+
+    Being line-pure makes the result cacheable per worker: web-scale
+    corpora are dominated by repeated boilerplate sentences, and a hit
+    skips the whole rule cascade.
+    """
+    lv = LineView(line)
+    matches = []  # (name, ref, rule, span)
+    for entry in gazetteer.candidates(lv, cfg):
+        for rule, span in _surface_matches(lv, entry, cfg):
+            ref = DIRECT if rule in ("R_EXACT", "R_NORM") else INDIRECT
+            matches.append((entry.name, ref, rule, span))
+    # subsumption: drop matches strictly inside a longer other-entity match
+    kept = []
+    for name, ref, rule, (lo, hi) in matches:
+        inside = any(
+            o_name != name and o_lo <= lo and hi <= o_hi and (o_hi - o_lo) > (hi - lo)
+            for o_name, _, _, (o_lo, o_hi) in matches
+        )
+        if not inside:
+            kept.append((name, ref, rule, (lo, hi)))
+    matched_names = {m[0] for m in kept}
+    has_strong = any(m[2] in ("R_EXACT", "R_NORM") for m in kept)
+    # head-noun anaphora (per entity, only if that entity not already matched)
+    if cfg.enable_head_noun:
+        low = lv.low
+        head_cands: dict = {}
+        for tok in lv.token_set:
+            for i, e in gazetteer.head_idx.get(tok, ()):
+                head_cands[i] = e
+            for i, e in gazetteer.camel_head_idx.get(tok, ()):
+                head_cands[i] = e
+        for entry in (head_cands[i] for i in sorted(head_cands)):
+            if entry.name in matched_names:
+                continue
+            if (
+                entry.head is None or entry.head not in lv.token_set
+            ) and (
+                entry.camel_head is None
+                or entry.camel_head not in lv.token_set
+            ):
+                continue
+            if entry.head and re.search(
+                # not hyphen-attached ("client-side"), not quantifier-
+                # preceded ("each client"), not indefinite-generic
+                # ("is a media server")
+                r"(?<!-)(?<![a-z0-9])"
+                + re.escape(entry.head)
+                + r"(?![a-z0-9])(?!-)",
+                low,
+            ) and not re.search(
+                r"\b(each|every|all|any|per|an?)\s+(\w+\s+)?"
+                + re.escape(entry.head)
+                + r"(?![a-z0-9])",
+                low,
+            ):
+                kept.append((entry.name, INDIRECT, "R_HEAD", (-1, -1)))
+                matched_names.add(entry.name)
+            elif entry.camel_head and re.search(
+                r"(?i)\bthe\s+" + re.escape(entry.camel_head) + r"(?![A-Za-z0-9])",
+                line,
+            ):
+                kept.append((entry.name, INDIRECT, "R_CAMEL_HEAD", (-1, -1)))
+                matched_names.add(entry.name)
+    # distinctive-prefix anaphora ("WebRTC" -> WebRTC-SFU), only when no
+    # entity matched strongly in this sentence
+    if not has_strong:
+        pref_cands: dict = {}
+        for tok in lv.token_set:
+            for i, e in gazetteer.prefix_idx.get(tok, ()):
+                pref_cands[i] = e
+        for entry in (pref_cands[i] for i in sorted(pref_cands)):
+            if (
+                entry.prefix
+                and entry.prefix in lv.token_set
+                # sentence-initial bare prefix ("WebRTC provides the
+                # user with ...") is a statement about the technology
+                # itself, not an anaphoric reference to the component
+                and lv.low_words[:1] != [entry.prefix]
+                and entry.name not in matched_names
+            ):
+                if re.search(
+                    r"(?i)(?<![a-z0-9])" + re.escape(entry.prefix) + r"(?![a-z0-9])",
+                    line,
+                ):
+                    kept.append((entry.name, INDIRECT, "R_PREFIX", (-1, -1)))
+                    matched_names.add(entry.name)
+    return kept, has_strong, bool(_COPULAR_RE.search(line))
+
+
+#: per-worker cap on cached distinct lines (result tuples are tiny)
+_LINE_CACHE_MAX = 200_000
+
+
 def detect_doc(lines, gazetteer, cfg: MatcherConfig | None = None):
     """One-pass per-document detection: returns ``(mentions, aliases)``
     where mentions is the ``detect_mentions`` list and aliases the
-    ``induce_aliases`` dict (computed once, not twice, per doc)."""
+    ``induce_aliases`` dict (computed once, not twice, per doc).
+
+    Line-pure matching results are cached on the GazIndex (boilerplate
+    sentences repeat heavily in real corpora); docs with induced
+    aliases bypass the cache because alias hits are doc-specific.
+    """
     cfg = cfg or MatcherConfig()
     if not isinstance(gazetteer, GazIndex):
         gazetteer = GazIndex(gazetteer, cfg)
     aliases = induce_aliases(lines, gazetteer, cfg) if cfg.enable_alias_induction else {}
+    # cache only valid for the config the index was compiled with
+    cache = (
+        gazetteer.line_cache if not aliases and cfg == gazetteer.cfg else None
+    )
     out = []
     focus = []  # single focused entity of the previous sentence
     focus_line = -10  # sentence that set the focus (pronoun decay = 1 line)
     focus_copular = False  # focus was set by a definitional "X is a ..." line
     for sent_no, line in enumerate(lines, 1):
-        lv = LineView(line)
-        matches = []  # (name, ref, rule, span)
-        for entry in gazetteer.candidates(lv, cfg):
-            for rule, span in _surface_matches(lv, entry, cfg):
-                ref = DIRECT if rule in ("R_EXACT", "R_NORM") else INDIRECT
-                matches.append((entry.name, ref, rule, span))
-        # doc-induced aliases (count as DIRECT: alias containment,
-        # NamedEntityParser.java:196-200)
-        spans = lv.spans
-        for acro, (name, rx) in aliases.items():
-            if any(m[0] == name for m in matches):
-                continue
-            mm = rx.search(line)
-            if mm:
-                matches.append(
-                    (name, DIRECT, "R_ALIAS", _char_to_token_range(spans, mm.start(), mm.end()))
-                )
-        # subsumption: drop matches strictly inside a longer other-entity match
-        kept = []
-        for name, ref, rule, (lo, hi) in matches:
-            inside = any(
-                o_name != name and o_lo <= lo and hi <= o_hi and (o_hi - o_lo) > (hi - lo)
-                for o_name, _, _, (o_lo, o_hi) in matches
-            )
-            if not inside:
-                kept.append((name, ref, rule, (lo, hi)))
-        matched_names = {m[0] for m in kept}
-        has_strong = any(m[2] in ("R_EXACT", "R_NORM") for m in kept)
-        # head-noun anaphora (per entity, only if that entity not already matched)
-        if cfg.enable_head_noun:
-            low = lv.low
-            head_cands: dict = {}
-            for tok in lv.token_set:
-                for i, e in gazetteer.head_idx.get(tok, ()):
-                    head_cands[i] = e
-                for i, e in gazetteer.camel_head_idx.get(tok, ()):
-                    head_cands[i] = e
-            for entry in (head_cands[i] for i in sorted(head_cands)):
-                if entry.name in matched_names:
-                    continue
-                if (
-                    entry.head is None or entry.head not in lv.token_set
-                ) and (
-                    entry.camel_head is None
-                    or entry.camel_head not in lv.token_set
-                ):
-                    continue
-                if entry.head and re.search(
-                    # not hyphen-attached ("client-side"), not quantifier-
-                    # preceded ("each client"), not indefinite-generic
-                    # ("is a media server")
-                    r"(?<!-)(?<![a-z0-9])"
-                    + re.escape(entry.head)
-                    + r"(?![a-z0-9])(?!-)",
-                    low,
-                ) and not re.search(
-                    r"\b(each|every|all|any|per|an?)\s+(\w+\s+)?"
-                    + re.escape(entry.head)
-                    + r"(?![a-z0-9])",
-                    low,
-                ):
-                    kept.append((entry.name, INDIRECT, "R_HEAD", (-1, -1)))
-                    matched_names.add(entry.name)
-                elif entry.camel_head and re.search(
-                    r"(?i)\bthe\s+" + re.escape(entry.camel_head) + r"(?![A-Za-z0-9])",
-                    line,
-                ):
-                    kept.append((entry.name, INDIRECT, "R_CAMEL_HEAD", (-1, -1)))
-                    matched_names.add(entry.name)
-        # distinctive-prefix anaphora ("WebRTC" -> WebRTC-SFU), only when no
-        # entity matched strongly in this sentence
-        if not has_strong:
-            pref_cands: dict = {}
-            for tok in lv.token_set:
-                for i, e in gazetteer.prefix_idx.get(tok, ()):
-                    pref_cands[i] = e
-            for entry in (pref_cands[i] for i in sorted(pref_cands)):
-                if (
-                    entry.prefix
-                    and entry.prefix in lv.token_set
-                    # sentence-initial bare prefix ("WebRTC provides the
-                    # user with ...") is a statement about the technology
-                    # itself, not an anaphoric reference to the component
-                    and lv.low_words[:1] != [entry.prefix]
-                    and entry.name not in matched_names
-                ):
-                    if re.search(
-                        r"(?i)(?<![a-z0-9])" + re.escape(entry.prefix) + r"(?![a-z0-9])",
-                        line,
-                    ):
-                        kept.append((entry.name, INDIRECT, "R_PREFIX", (-1, -1)))
-                        matched_names.add(entry.name)
-        # pronoun inheritance ("It <verb>s ..." but not copular "It is ...",
-        # which is dominated by generic commentary in the benchmark prose)
+        hit = cache.get(line) if cache is not None else None
+        if hit is not None:
+            kept, has_strong, copular = hit
+        else:
+            kept, has_strong, copular = _match_line(line, gazetteer, cfg)
+            if aliases:
+                # doc-induced aliases (count as DIRECT: alias containment,
+                # NamedEntityParser.java:196-200); appended after the
+                # line-pure pass, mirroring their standalone-token nature
+                matched = {m[0] for m in kept}
+                extra = []
+                for acro, (name, rx) in aliases.items():
+                    if name in matched:
+                        continue
+                    mm = rx.search(line)
+                    if mm:
+                        spans = _token_spans(line)
+                        extra.append(
+                            (name, DIRECT, "R_ALIAS",
+                             _char_to_token_range(spans, mm.start(), mm.end()))
+                        )
+                kept = kept + extra
+            elif cache is not None:
+                if len(cache) >= _LINE_CACHE_MAX:
+                    cache.clear()
+                cache[line] = (kept, has_strong, copular)
+        # pronoun inheritance ("It <verb>s ...") — doc-sequential, never cached
         if (
             not kept
             and cfg.enable_pronoun
@@ -803,7 +846,7 @@ def detect_doc(lines, gazetteer, cfg: MatcherConfig | None = None):
         ):
             stripped = line.strip()
             if _PRONOUN_START.match(stripped):
-                kept.append((focus[0], INDIRECT, "R_PRONOUN", (-1, -1)))
+                kept = [(focus[0], INDIRECT, "R_PRONOUN", (-1, -1))]
         for name, ref, rule, _ in kept:
             out.append((sent_no, name, ref, rule))
         if kept:
@@ -818,11 +861,11 @@ def detect_doc(lines, gazetteer, cfg: MatcherConfig | None = None):
             if len({n for _, n in strong}) == 1:
                 focus = [strong[0][1]]
                 focus_line = sent_no
-                focus_copular = bool(_COPULAR_RE.search(line))
+                focus_copular = copular
             elif strong and strong[0][0] <= 2:
                 focus = [strong[0][1]]
                 focus_line = sent_no
-                focus_copular = bool(_COPULAR_RE.search(line))
+                focus_copular = copular
             else:
                 focus = []
     return out, aliases

@@ -138,3 +138,27 @@ def test_direct_vs_indirect_flags():
     )
     refs = {m[0]: m[2] for m in out}
     assert refs[1] == "DIRECT" and refs[2] == "INDIRECT"
+
+
+def test_line_cache_equivalence():
+    """Cached and uncached detection agree on a doc with heavy line
+    repetition, and alias-bearing docs bypass the cache correctly."""
+    from named_architecture_entity_recognition_spark.operators.matching import (
+        MatcherConfig,
+        compile_gazetteer,
+        detect_mentions,
+    )
+
+    cfg = MatcherConfig()
+    lines = (
+        ["The AlphaHub routes requests.", "It processes the incoming data."] * 5
+        + ["Kurento Media Server KMS is the media engine.", "Later KMS restarts."]
+    )
+    g1 = compile_gazetteer(["AlphaHub", "Kurento Media Server"], cfg)
+    first = detect_mentions(lines, g1, cfg)
+    again = detect_mentions(lines, g1, cfg)  # warm cache second pass
+    assert first == again
+    g2 = compile_gazetteer(["AlphaHub", "Kurento Media Server"], cfg)
+    assert detect_mentions(lines, g2, cfg) == first
+    assert any(r == "R_ALIAS" for _, _, _, r in first)
+    assert sum(1 for _, n, _, _ in first if n == "AlphaHub") == 10
