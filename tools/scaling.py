@@ -84,7 +84,7 @@ def main():
     # long enough that fixed per-run costs (python worker cold start,
     # job setup — ~8s at 32 procs) amortize as they would on a real
     # hours-long 100TB job; too-short runs understate big-run efficiency
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 48000
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 144000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     path = f"/tmp/naer_scaling_docs_{n_docs}"
     # the wide leg is ~3x cheaper per repeat and ~4x more exposed to a
