@@ -27,7 +27,7 @@ from named_architecture_entity_recognition_spark.operators.matching import (
     compile_gazetteer,
     detect_doc,
 )
-from named_architecture_entity_recognition_spark.schema import MENTIONS
+from named_architecture_entity_recognition_spark.schema import ENTITIES, MENTIONS
 
 #: worker-process-level cache: (names tuple, cfg) -> compiled gazetteer.
 #: compile_gazetteer(200 names) costs ~175 ms; per-task recompiles were
@@ -161,3 +161,107 @@ def detect_mentions_df(
     )
     slim = docs.select("doc_id", sents.alias("sents"))
     return slim.mapInArrow(process, schema=MENTIONS)
+
+
+def detect_entities_df(
+    docs: DataFrame,
+    gazetteer_names,
+    cfg: MatcherConfig | None = None,
+    validate_format: bool = False,
+) -> DataFrame:
+    """documents -> entities (schema.ENTITIES) with the A1-A4 grouping
+    FUSED into the detection pass: entities are (doc_id, name)-local and
+    every document lives wholly inside one task, so grouping inside the
+    worker removes the corpus-wide mention shuffle entirely — the
+    flagship plan has ZERO exchanges (asserted in test_plan_quality).
+
+    Semantics identical to ``assemble_entities(detect_mentions_df(...))``
+    (equivalence-tested): occurrences sorted by (sent_no, ref_type) like
+    the reference's TreeSet<Occurrence> (model/NamedEntity.java:192-198),
+    aliases sorted distinct, alias-only groups dropped.
+    """
+    cfg = cfg or MatcherConfig()
+    if isinstance(gazetteer_names, dict):
+        gaz_map = {k: tuple(v) for k, v in gazetteer_names.items()}
+        default_names: tuple = ()
+    else:
+        gaz_map = {}
+        default_names = tuple(gazetteer_names)
+
+    def process(batches):
+        import gc
+
+        import pyarrow as pa
+
+        out_schema = pa.schema(
+            [
+                ("doc_id", pa.string()),
+                ("name", pa.string()),
+                ("entity_type", pa.string()),
+                ("alternative_names", pa.list_(pa.string())),
+                (
+                    "occurrences",
+                    pa.list_(
+                        pa.struct(
+                            [("sent_no", pa.int32()), ("ref_type", pa.string())]
+                        )
+                    ),
+                ),
+            ]
+        )
+        gc_was_enabled = gc.isenabled()
+        gc.disable()
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_pylist()
+            sents = batch.column("sents")
+            if isinstance(sents, pa.ChunkedArray):
+                sents = sents.combine_chunks()
+            offsets = sents.offsets.to_pylist()
+            texts = sents.values.to_pylist()
+            cols = {k: [] for k in (
+                "doc_id", "name", "entity_type", "alternative_names", "occurrences"
+            )}
+            for r, doc_id in enumerate(doc_ids):
+                lines = texts[offsets[r] : offsets[r + 1]]
+                if validate_format and any(
+                    not _line_is_valid(ln) for ln in lines
+                ):
+                    continue  # quarantined (F1): no entities from this doc
+                names = gaz_map.get(doc_id, default_names) if gaz_map else default_names
+                gaz = _compiled_gaz(names, cfg)
+                mentions, aliases = detect_doc(lines, gaz, cfg)
+                occ_by_name: dict = {}
+                for sent_no, name, ref, _rule in mentions:
+                    occ_by_name.setdefault(name, set()).add((sent_no, ref))
+                alias_by_name: dict = {}
+                for acro, (name, _rx) in aliases.items():
+                    alias_by_name.setdefault(name, set()).add(acro)
+                for name in sorted(occ_by_name):
+                    occs = sorted(occ_by_name[name])
+                    cols["doc_id"].append(doc_id)
+                    cols["name"].append(name)
+                    cols["entity_type"].append("COMPONENT")
+                    cols["alternative_names"].append(
+                        sorted(alias_by_name.get(name, ()))
+                    )
+                    cols["occurrences"].append(
+                        [{"sent_no": s, "ref_type": t} for s, t in occs]
+                    )
+            yield pa.RecordBatch.from_pydict(cols, schema=out_schema)
+        if gc_was_enabled:
+            gc.enable()
+            gc.collect()
+
+    sents = F.transform(
+        F.filter(
+            F.zip_with(
+                F.col("spans").getField("text"),
+                F.col("spans").getField("kind"),
+                lambda t, k: F.struct(t.alias("t"), k.alias("k")),
+            ),
+            lambda x: x["k"] == F.lit("text"),
+        ),
+        lambda x: x["t"],
+    )
+    slim = docs.select("doc_id", sents.alias("sents"))
+    return slim.mapInArrow(process, schema=ENTITIES)

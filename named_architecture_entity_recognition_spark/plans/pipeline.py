@@ -20,11 +20,9 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 
-from named_architecture_entity_recognition_spark.operators.entities import (
-    assemble_entities,
-)
 from named_architecture_entity_recognition_spark.operators.matching import MatcherConfig
 from named_architecture_entity_recognition_spark.operators.mentions import (
+    detect_entities_df,
     detect_mentions_df,
 )
 from named_architecture_entity_recognition_spark.operators.triples import to_triples
@@ -51,20 +49,22 @@ class RecognizerPipeline:
         )
 
     def entities(self, docs: DataFrame) -> DataFrame:
-        # A3 set semantics need no dropDuplicates here: assemble's
-        # groupBy(doc_id, name) already emits one row per key, which
-        # implies uniqueness of the full canonical tuple — the explicit
-        # dedup_entities operator is for parser-sourced entity rows and
-        # would add a second full shuffle of array-bearing rows for
-        # nothing on this path.
-        return assemble_entities(self.mentions(docs))
+        # A1-A4 grouping is (doc_id, name)-local, so it runs fused
+        # inside the detection workers (detect_entities_df): the
+        # flagship needs NO shuffle at all. assemble_entities remains
+        # the grouping operator for mention streams from other sources
+        # (parsed LLM answers), and an equivalence test pins
+        # detect_entities_df == assemble(detect_mentions_df).
+        return detect_entities_df(
+            docs, self.gazetteer_names, self.cfg, validate_format=self.validate
+        )
 
     def triples(self, docs: DataFrame, canonicalize: bool = False) -> DataFrame:
         """KG triples; with ``canonicalize=True`` the corpus-level
         entity-linking stage (CC over alias edges, operators/cc.py)
         additionally emits (entity_id, sameAs, canonical_id) triples
         unifying the same component across documents."""
-        ents = assemble_entities(self.mentions(docs))
+        ents = self.entities(docs)
         out = to_triples(ents)
         if canonicalize:
             from named_architecture_entity_recognition_spark.operators.cc import (

@@ -100,3 +100,26 @@ def test_triples_shape(mentions):
     assert t.filter(
         (F.col("pred") == "hasAlternativeName") & (F.col("subj") == "d1#webui")
     ).head().obj == "UI"
+
+
+def test_fused_entities_equal_assembled(spark):
+    """detect_entities_df (grouping fused into the detection worker)
+    must equal assemble_entities(detect_mentions_df(...)) row for row."""
+    from named_architecture_entity_recognition_spark.operators.mentions import (
+        detect_entities_df,
+        detect_mentions_df,
+    )
+    from named_architecture_entity_recognition_spark.synth import (
+        synth_documents,
+        synth_gazetteer,
+    )
+
+    docs = synth_documents(spark, 60, seed=3)
+    gaz = synth_gazetteer(40)
+    fused = detect_entities_df(docs, gaz, validate_format=True)
+    assembled = assemble_entities(
+        detect_mentions_df(docs, gaz, validate_format=True)
+    )
+    assert fused.exceptAll(assembled).count() == 0
+    assert assembled.exceptAll(fused).count() == 0
+    assert fused.count() > 0

@@ -42,10 +42,10 @@ def test_small_dim_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_kg_pipeline_single_shuffle(spark):
-    """The whole documents->triples pipeline must contain exactly ONE
-    exchange (the entity-assembly hash aggregation); detection is
-    partition-preserving mapInPandas and triples are narrow."""
+def test_kg_pipeline_zero_shuffle(spark):
+    """The whole documents->triples pipeline must contain NO exchange:
+    detection+assembly run fused in one partition-preserving mapInArrow
+    pass (entities are doc-local) and triples are narrow."""
     from named_architecture_entity_recognition_spark.plans.pipeline import (
         RecognizerPipeline,
     )
@@ -59,7 +59,7 @@ def test_kg_pipeline_single_shuffle(spark):
     simple = t._sc._jvm.PythonSQLUtils.explainString(
         t._jdf.queryExecution(), "simple"
     )
-    assert simple.count("Exchange") == 1, simple
+    assert simple.count("Exchange") == 0, simple
     plan = plan_of(t)
     # no row-at-a-time python: the only python boundary is Arrow-batched
     assert "ArrowEvalPython" not in plan  # no scalar python UDF in plan
