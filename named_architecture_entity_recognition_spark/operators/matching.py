@@ -522,32 +522,6 @@ class LineView:
         return self._initials
 
 
-def _is_candidate(lv: LineView, entry: GazEntry, cfg: MatcherConfig) -> bool:
-    """Cheap trigger test: can this entry possibly match this line?"""
-    if entry.tokens[0] in lv.token_set:
-        return True
-    if entry.is_ambiguous:
-        return False  # ambiguous entries only match via surface tokens
-    if entry.norm[:4] in lv.prefix4:
-        return True
-    for t in entry.tokens:
-        if 2 <= len(t) <= 6 and t in lv.acr_equiv:
-            return True  # BBB ~ BigBlueButton token equivalence
-    if (
-        entry.name.isupper()
-        and 3 <= len(entry.norm) <= 6
-        and entry.norm in lv.initials_windows()
-    ):
-        return True  # FSESL ~ FreeSWITCH Event Socket Layer
-    if (
-        cfg.enable_fuzzy
-        and 4 <= len(entry.norm) <= 6
-        and entry.norm[0] in lv.firstchars
-    ):
-        return True
-    return False
-
-
 def _word_matches_token(word: str, tok: str) -> bool:
     """Token equivalence incl. acronym<->camel expansion (BBB~BigBlueButton).
 
