@@ -637,6 +637,8 @@ def induce_aliases(lines, gazetteer, cfg: MatcherConfig):
         r"((?:[A-Z][A-Za-z0-9]*\s+){1,3}[A-Z][A-Za-z0-9]*)\s+\(?([A-Z]{2,6})\)?"
     )
     for line in lines:
+        if not line:
+            continue
         for m in defn.finditer(line):
             phrase, acro = m.group(1), m.group(2)
             words = phrase.split()
@@ -784,6 +786,11 @@ def detect_doc(lines, gazetteer, cfg: MatcherConfig | None = None):
     focus_line = -10  # sentence that set the focus (pronoun decay = 1 line)
     focus_copular = False  # focus was set by a definitional "X is a ..." line
     for sent_no, line in enumerate(lines, 1):
+        if not line:
+            # dirty row resilience (F5: drop, don't fail) — a null/empty
+            # text span yields no mentions and clears the pronoun focus
+            focus = []
+            continue
         hit = cache.get(line) if cache is not None else None
         if hit is not None:
             kept, has_strong, copular = hit

@@ -162,3 +162,14 @@ def test_line_cache_equivalence():
     assert detect_mentions(lines, g2, cfg) == first
     assert any(r == "R_ALIAS" for _, _, _, r in first)
     assert sum(1 for _, n, _, _ in first if n == "AlphaHub") == 10
+
+
+def test_null_and_empty_lines_are_dropped_not_fatal():
+    """F5 resilience: dirty rows (None/empty sentence text) must not
+    crash detection and must break pronoun continuity."""
+    out = detect(
+        ["The AlphaHub routes requests.", None, "", "It processes data."],
+        ["AlphaHub"],
+    )
+    assert (1, "AlphaHub", "DIRECT", "R_EXACT") in out
+    assert all(m[0] != 4 for m in out)  # focus cleared by the gap
