@@ -35,6 +35,8 @@ Match rules (each mention records which rule fired):
   R_CAMEL_HEAD determinered camel head ("the UI" -> "WebUI"), INDIRECT.
   R_PRONOUN "It ..."-initial sentence inherits the single strongly
             focused entity of the previous sentence, INDIRECT.
+  R_DEMONSTRATIVE "This component ..."-initial sentence inherits the
+            focused entity within the last 8 sentences, INDIRECT.
 
 A match whose token span is strictly contained in a longer match of a
 different entity is suppressed ("FreeSWITCH" inside "FreeSWITCH Event
@@ -69,6 +71,13 @@ _ROLE_HEADS = {"client", "server", "datastore", "database", "db", "ui", "gui"}
 _PRONOUN_START = re.compile(
     r"^(it|(as such|furthermore|additionally|moreover|finally|also|in particular),?\s+it)\b",
     re.IGNORECASE,
+)
+
+# Demonstrative anaphora ("This component automates ..."): refers to
+# the section's subject — the last strongly-focused entity, with a
+# longer reach than pronoun inheritance (section prose intervenes).
+_DEMONSTRATIVE_START = re.compile(
+    r"^\s*this\s+(component|service|module|subsystem)\b", re.IGNORECASE
 )
 
 _WORD_RE = re.compile(r"[A-Za-z0-9]+")
@@ -817,17 +826,20 @@ def detect_doc(lines, gazetteer, cfg: MatcherConfig | None = None):
                 if len(cache) >= _LINE_CACHE_MAX:
                     cache.clear()
                 cache[line] = (kept, has_strong, copular)
-        # pronoun inheritance ("It <verb>s ...") — doc-sequential, never cached
+        # pronoun/demonstrative inheritance — doc-sequential, never cached
         if (
             not kept
             and cfg.enable_pronoun
             and len(focus) == 1
-            and sent_no - focus_line == 1
             and not focus_copular
         ):
             stripped = line.strip()
-            if _PRONOUN_START.match(stripped):
+            if sent_no - focus_line == 1 and _PRONOUN_START.match(stripped):
                 kept = [(focus[0], INDIRECT, "R_PRONOUN", (-1, -1))]
+            elif sent_no - focus_line <= 8 and _DEMONSTRATIVE_START.match(
+                stripped
+            ):
+                kept = [(focus[0], INDIRECT, "R_DEMONSTRATIVE", (-1, -1))]
         for name, ref, rule, _ in kept:
             out.append((sent_no, name, ref, rule))
         if kept:

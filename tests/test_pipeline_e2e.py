@@ -23,13 +23,13 @@ from conftest import BENCHMARK_PROJECTS, load_benchmark_project
 
 # (precision_floor, recall_floor) per project — measured 2026-08:
 # bbb 0.962/0.981, jabref 0.947/1.0, mediastore 0.967/1.0,
-# teammates 0.941/0.941, teastore 1.0/1.0
+# teammates 0.942/0.961, teastore 1.0/1.0
 # BASELINE.json metric: P/R >= 0.95 on teastore, mediastore, bigbluebutton.
 THRESHOLDS = {
     "bigbluebutton": (0.95, 0.95),
     "jabref": (0.90, 0.95),
     "mediastore": (0.95, 0.95),
-    "teammates": (0.90, 0.85),
+    "teammates": (0.90, 0.90),
     "teastore": (0.95, 0.95),
 }
 
