@@ -773,6 +773,36 @@ def _match_line(line, gazetteer: "GazIndex", cfg: MatcherConfig):
 _LINE_CACHE_MAX = 200_000
 
 
+def expansion_comentions(lines, gazetteer: "GazIndex", cfg: MatcherConfig):
+    """Doc-level acronym-expansion co-mention map: if an all-caps
+    gazetteer name (e.g. FSESL) is spelled out somewhere in the doc as a
+    camel-initials window ("FreeSWITCH Event Socket Layer") that itself
+    contains another gazetteer name (FreeSWITCH), then a BARE use of the
+    acronym elsewhere also references the contained entity (the gold
+    standard annotates both)."""
+    out: dict = {}
+    if not gazetteer.expand_idx:
+        return out
+    for line in lines:
+        if not line:
+            continue
+        lv = LineView(line)
+        iw = lv.initials_windows()
+        for norm_key, posts in gazetteer.expand_idx.items():
+            hit = iw.get(norm_key)
+            if hit is None:
+                continue
+            i, j = hit
+            expansion = " ".join(lv.words[i : j + 1])
+            for _idx, acro_entry in posts:
+                for other in gazetteer.entries:
+                    if other.name == acro_entry.name:
+                        continue
+                    if other.ci_regex.search(expansion):
+                        out.setdefault(acro_entry.name, set()).add(other.name)
+    return out
+
+
 def detect_doc(lines, gazetteer, cfg: MatcherConfig | None = None):
     """One-pass per-document detection: returns ``(mentions, aliases)``
     where mentions is the ``detect_mentions`` list and aliases the
@@ -786,6 +816,11 @@ def detect_doc(lines, gazetteer, cfg: MatcherConfig | None = None):
     if not isinstance(gazetteer, GazIndex):
         gazetteer = GazIndex(gazetteer, cfg)
     aliases = induce_aliases(lines, gazetteer, cfg) if cfg.enable_alias_induction else {}
+    comentions = (
+        expansion_comentions(lines, gazetteer, cfg)
+        if cfg.enable_alias_induction
+        else {}
+    )
     # cache only valid for the config the index was compiled with
     cache = (
         gazetteer.line_cache if not aliases and cfg == gazetteer.cfg else None
@@ -826,6 +861,21 @@ def detect_doc(lines, gazetteer, cfg: MatcherConfig | None = None):
                 if len(cache) >= _LINE_CACHE_MAX:
                     cache.clear()
                 cache[line] = (kept, has_strong, copular)
+        # acronym-expansion co-mention: a literal bare acronym hit also
+        # references the entities named inside its spelled-out form
+        # ("FSESL akka." -> FSESL + FreeSWITCH); expansion-window hits
+        # (R_NORM) are excluded — there subsumption already decided
+        if comentions:
+            names_here = {m[0] for m in kept}
+            extra = []
+            for name, ref, rule, span in kept:
+                if rule == "R_EXACT" and name in comentions:
+                    for other in sorted(comentions[name]):
+                        if other not in names_here:
+                            extra.append((other, INDIRECT, "R_COMENTION", (-1, -1)))
+                            names_here.add(other)
+            if extra:
+                kept = kept + extra
         # pronoun/demonstrative inheritance — doc-sequential, never cached
         if (
             not kept

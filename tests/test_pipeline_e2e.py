@@ -22,7 +22,7 @@ from named_architecture_entity_recognition_spark.sources.sad import doc_row
 from conftest import BENCHMARK_PROJECTS, load_benchmark_project
 
 # (precision_floor, recall_floor) per project — measured 2026-08:
-# bbb 0.962/0.981, jabref 0.947/1.0, mediastore 0.967/1.0,
+# bbb 0.963/1.0, jabref 0.947/1.0, mediastore 0.967/1.0,
 # teammates 0.942/0.961, teastore 1.0/1.0
 # BASELINE.json metric: P/R >= 0.95 on teastore, mediastore, bigbluebutton.
 THRESHOLDS = {
