@@ -29,6 +29,29 @@ from named_architecture_entity_recognition_spark.operators.matching import (
 )
 from named_architecture_entity_recognition_spark.schema import ENTITIES, MENTIONS
 
+#: reference NamedEntityType enum (model/NamedEntityType.java:8)
+ENTITY_TYPES = ("COMPONENT", "INTERFACE", "CLASS")
+
+
+def normalize_gazetteer(gazetteer_names):
+    '''Accept the reference dictionary shapes: a flat name list (all
+    COMPONENT), a typed map {COMPONENT|INTERFACE|CLASS: names}
+    (recognizer/Prompt.java:56-85), or a per-doc map {doc_id: names}.
+    Returns (default_names, gaz_map_by_doc, name_to_type).'''
+    name_to_type = {}
+    if isinstance(gazetteer_names, dict):
+        keys = set(gazetteer_names)
+        if keys and keys <= set(ENTITY_TYPES):
+            names = []
+            for etype in ENTITY_TYPES:  # fixed precedence on collisions
+                for n in gazetteer_names.get(etype, ()):
+                    if n not in name_to_type:
+                        name_to_type[n] = etype
+                        names.append(n)
+            return tuple(names), {}, name_to_type
+        return (), {k: tuple(v) for k, v in gazetteer_names.items()}, {}
+    return tuple(gazetteer_names), {}, {}
+
 #: worker-process-level cache: (names tuple, cfg) -> compiled gazetteer.
 #: compile_gazetteer(200 names) costs ~175 ms; per-task recompiles were
 #: a measurable fraction of short tasks' runtime.
@@ -74,12 +97,7 @@ def detect_mentions_df(
     (model/SoftwareArchitectureDocumentation.java:117-124).
     """
     cfg = cfg or MatcherConfig()
-    if isinstance(gazetteer_names, dict):
-        gaz_map = {k: tuple(v) for k, v in gazetteer_names.items()}
-        default_names: tuple = ()
-    else:
-        gaz_map = {}
-        default_names = tuple(gazetteer_names)
+    default_names, gaz_map, _ = normalize_gazetteer(gazetteer_names)
 
     def process(batches):
         import gc
@@ -181,12 +199,7 @@ def detect_entities_df(
     aliases sorted distinct, alias-only groups dropped.
     """
     cfg = cfg or MatcherConfig()
-    if isinstance(gazetteer_names, dict):
-        gaz_map = {k: tuple(v) for k, v in gazetteer_names.items()}
-        default_names: tuple = ()
-    else:
-        gaz_map = {}
-        default_names = tuple(gazetteer_names)
+    default_names, gaz_map, name_to_type = normalize_gazetteer(gazetteer_names)
 
     def process(batches):
         import gc
@@ -240,7 +253,9 @@ def detect_entities_df(
                     occs = sorted(occ_by_name[name])
                     cols["doc_id"].append(doc_id)
                     cols["name"].append(name)
-                    cols["entity_type"].append("COMPONENT")
+                    cols["entity_type"].append(
+                        name_to_type.get(name, "COMPONENT")
+                    )
                     cols["alternative_names"].append(
                         sorted(alias_by_name.get(name, ()))
                     )

@@ -59,3 +59,25 @@ def test_synth_deterministic_across_partitioning(spark):
     kb = {(r.doc_id, len(r.spans), r.spans[0]["text"]) for r in b.collect()}
     assert ka == kb
     assert len(ka) == 30
+
+
+def test_typed_gazetteer_map(spark):
+    """Reference parity: recognize(docs, Map<NamedEntityType, names>)
+    (recognizer/NamedEntityRecognizer.java:95-98) — entity_type follows
+    the dictionary's type key."""
+    from named_architecture_entity_recognition_spark.plans.recognizer import (
+        NamedEntityRecognizer,
+    )
+    from named_architecture_entity_recognition_spark.schema import DOCUMENTS
+    from named_architecture_entity_recognition_spark.sources.sad import doc_row
+
+    docs = spark.createDataFrame(
+        [doc_row("d", ["The WebUI uses the IMediaQuery interface heavily."])],
+        DOCUMENTS,
+    )
+    rec = NamedEntityRecognizer.Builder().build()
+    ents = rec.recognize(
+        docs, {"COMPONENT": ["WebUI"], "INTERFACE": ["IMediaQuery"]}
+    )
+    got = {r.name: r.entity_type for r in ents.collect()}
+    assert got == {"WebUI": "COMPONENT", "IMediaQuery": "INTERFACE"}
