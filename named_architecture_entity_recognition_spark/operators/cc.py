@@ -22,13 +22,40 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 10, checkpoint_dir: str | None = None
+    edges: DataFrame,
+    max_iter: int = 10,
+    checkpoint_dir: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """edges(src string, dst string) -> (node string, component string).
 
     component = lexicographic min node id reachable. Undirected.
+
+    One Spark action per iteration: the changed-label count rides as a
+    column through the propagation plan, and the single
+    ``agg(sum(changed))`` both materializes the (lazy) checkpoint and
+    returns the convergence signal — no separate join+count job.
+
+    ``checkpoint_dir``: when set, iterations use RELIABLE checkpointing
+    (``df.checkpoint`` into that dir) so an executor loss mid-job
+    recomputes from durable storage instead of failing the whole
+    iterative job — required at production scale. Default is
+    ``localCheckpoint`` (executor-memory lineage truncation), fine for
+    the sandbox / short-lived jobs.
+
+    ``stats``: optional dict filled with {"iterations": n} for tests.
     """
     spark = edges.sparkSession
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        # lazy: the checkpoint is persisted by this iteration's single
+        # aggregate action below, not by an extra job here
+        if checkpoint_dir:
+            return df.checkpoint(eager=False)
+        return df.localCheckpoint(eager=False)
+
     sym = (
         edges.select("src", "dst")
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -41,8 +68,10 @@ def connected_components(
         .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
         .select(F.col("src").alias("node"), "label")
     )
-    labels = labels.withColumn("label", F.least("node", "label"))
-    for i in range(max_iter):
+    labels = _ckpt(labels.withColumn("label", F.least("node", "label")))
+    iters = 0
+    for _ in range(max_iter):
+        iters += 1
         # propagate: new_label(node) = min over neighbors of their label
         neigh = (
             sym.join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -54,6 +83,7 @@ def connected_components(
             labels.join(neigh, "node", "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     "label", F.coalesce("nlabel", F.col("label"))
                 ).alias("label"),
@@ -68,23 +98,22 @@ def connected_components(
             .select(
                 "node",
                 F.least("label", F.coalesce("plabel", F.col("label"))).alias("label"),
+                (
+                    F.least("label", F.coalesce("plabel", F.col("label")))
+                    != F.col("old_label")
+                ).cast("long").alias("changed"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if checkpoint_dir:
-            # truncate lineage so iterative plans stay small
-            labels = labels.localCheckpoint(eager=True)
-        else:
-            labels = labels.localCheckpoint(eager=True)
+        new_labels = _ckpt(new_labels)
+        # THE one action: materializes the checkpoint blocks AND counts
+        # changed labels (map-side partial sum, no extra shuffle stage
+        # beyond the scalar aggregate)
+        changed = new_labels.agg(F.sum("changed")).first()[0] or 0
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
+    if stats is not None:
+        stats["iterations"] = iters
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -105,7 +134,15 @@ def canonicalize_aliases(entities: DataFrame) -> DataFrame:
         F.explode(
             F.array_union(
                 F.array(F.lower("name")),
-                F.transform("alternative_names", F.lower),
+                # NULL aliases (entity tables read from external
+                # parquet/Iceberg) must not nullify the union and drop
+                # the entity's own-name edge
+                F.transform(
+                    F.coalesce(
+                        "alternative_names", F.array().cast("array<string>")
+                    ),
+                    F.lower,
+                ),
             )
         ).alias("alias"),
     ).select(
@@ -140,7 +177,12 @@ def canonicalize_corpus(entities: DataFrame) -> DataFrame:
     surfaces = with_key.select(
         F.col("node").alias("src"),
         F.explode(
-            F.array_union(F.array(F.col("name")), F.col("alternative_names"))
+            F.array_union(
+                F.array(F.col("name")),
+                F.coalesce(
+                    "alternative_names", F.array().cast("array<string>")
+                ),
+            )
         ).alias("surface"),
     ).select(
         "src",

@@ -815,6 +815,12 @@ def detect_doc(lines, gazetteer, cfg: MatcherConfig | None = None):
     cfg = cfg or MatcherConfig()
     if not isinstance(gazetteer, GazIndex):
         gazetteer = GazIndex(gazetteer, cfg)
+    elif cfg != gazetteer.cfg:
+        # the index's posting lists (stem/fuzzy/ambiguity) were built
+        # for gazetteer.cfg; a different runtime cfg (e.g. lower
+        # fuzzy_threshold) could under-generate candidates. Recompile
+        # from the names so candidates() never drops a surface match.
+        gazetteer = compile_gazetteer([e.name for e in gazetteer.entries], cfg)
     aliases = induce_aliases(lines, gazetteer, cfg) if cfg.enable_alias_induction else {}
     comentions = (
         expansion_comentions(lines, gazetteer, cfg)

@@ -54,15 +54,22 @@ def normalize_gazetteer(gazetteer_names):
 
 #: worker-process-level cache: (names tuple, cfg) -> compiled gazetteer.
 #: compile_gazetteer(200 names) costs ~175 ms; per-task recompiles were
-#: a measurable fraction of short tasks' runtime.
+#: a measurable fraction of short tasks' runtime. Bounded LRU: with
+#: per-doc dictionaries ({doc_id: names}) a reused worker would
+#: otherwise accumulate one compiled index + line cache (up to 200k
+#: entries each) per distinct dictionary, unbounded.
 _COMPILED: dict = {}
+_COMPILED_CAP = 16
 
 
 def _compiled_gaz(names: tuple, cfg: MatcherConfig):
     key = (names, cfg)
-    got = _COMPILED.get(key)
+    got = _COMPILED.pop(key, None)  # pop+reinsert = move to MRU end
     if got is None:
-        got = _COMPILED[key] = compile_gazetteer(list(names), cfg)
+        if len(_COMPILED) >= _COMPILED_CAP:
+            _COMPILED.pop(next(iter(_COMPILED)))  # evict LRU
+        got = compile_gazetteer(list(names), cfg)
+    _COMPILED[key] = got
     return got
 
 
@@ -107,6 +114,9 @@ def detect_mentions_df(
         # the matcher allocates many short-lived acyclic objects per
         # line; CPython's cyclic GC adds measurable contention at high
         # core counts for zero reclaim. Pause it for the batch loop.
+        # try/finally: generators can be closed early (downstream
+        # limit/take) or raise mid-batch — the worker process is reused,
+        # so gc must be restored on EVERY exit path.
         gc_was_enabled = gc.isenabled()
         gc.disable()
 
@@ -121,6 +131,16 @@ def detect_mentions_df(
                 ("alias", pa.string()),
             ]
         )
+        try:
+            yield from _mention_batches(batches, out_schema)
+        finally:
+            if gc_was_enabled:
+                gc.enable()
+                gc.collect()
+
+    def _mention_batches(batches, out_schema):
+        import pyarrow as pa
+
         for batch in batches:
             doc_ids = batch.column("doc_id").to_pylist()
             sents = batch.column("sents")
@@ -158,9 +178,6 @@ def detect_mentions_df(
                 for acro, (name, _rx) in aliases.items():
                     emit(doc_id, "alias", name, None, None, "R_ALIAS", acro)
             yield pa.RecordBatch.from_pydict(cols, schema=out_schema)
-        if gc_was_enabled:
-            gc.enable()
-            gc.collect()
 
     # reference only spans.text / spans.kind (GetArrayStructFields) so
     # nested schema pruning reaches the parquet scan: ReadSchema becomes
@@ -222,8 +239,19 @@ def detect_entities_df(
                 ),
             ]
         )
+        # see detect_mentions_df: restore gc on every generator exit path
         gc_was_enabled = gc.isenabled()
         gc.disable()
+        try:
+            yield from _entity_batches(batches, out_schema)
+        finally:
+            if gc_was_enabled:
+                gc.enable()
+                gc.collect()
+
+    def _entity_batches(batches, out_schema):
+        import pyarrow as pa
+
         for batch in batches:
             doc_ids = batch.column("doc_id").to_pylist()
             sents = batch.column("sents")
@@ -263,9 +291,6 @@ def detect_entities_df(
                         [{"sent_no": s, "ref_type": t} for s, t in occs]
                     )
             yield pa.RecordBatch.from_pydict(cols, schema=out_schema)
-        if gc_was_enabled:
-            gc.enable()
-            gc.collect()
 
     sents = F.transform(
         F.filter(

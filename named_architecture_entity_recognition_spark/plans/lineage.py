@@ -15,6 +15,8 @@ bucket partitioning; parquet directories are the sandbox stand-in.
 from __future__ import annotations
 
 import json
+import os
+import shutil
 import time
 from pathlib import Path
 
@@ -48,11 +50,34 @@ class StageCheckpoint:
     def completed_buckets(self) -> set:
         return {int(b) for b in self._load_manifest()["buckets"]}
 
+    def _recover(self, done: set) -> None:
+        """Crash recovery: the commit protocol is (1) write all pending
+        buckets to a staging dir, (2) atomically rename each complete
+        ``doc_bucket=N`` dir into the stage dir, (3) atomically replace
+        the manifest. A crash at any point leaves either stale staging
+        output or published bucket dirs not yet recorded in the
+        manifest; both are removed here so the resume recomputes them
+        exactly once — no duplicate rows, ever."""
+        staging = self.dir / "_staging"
+        if staging.exists():
+            shutil.rmtree(staging)
+        if self.dir.exists():
+            for p in self.dir.glob("doc_bucket=*"):
+                try:
+                    b = int(p.name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if b not in done:
+                    shutil.rmtree(p)
+
     def run(self, compute, inputs: DataFrame, key: str = "doc_id") -> DataFrame:
         """compute(bucketed_inputs) -> DataFrame with doc_bucket column.
 
         Processes only buckets not yet in the manifest; returns the full
-        (old + new) stage output.
+        (old + new) stage output. Durable-commit ordering: bucket data
+        becomes visible via atomic rename BEFORE the manifest marks it
+        done, and orphaned (data-without-manifest) buckets are deleted
+        on resume — so a crash anywhere cannot double-count rows.
         """
         spark = inputs.sparkSession
         manifest = self._load_manifest()
@@ -60,6 +85,9 @@ class StageCheckpoint:
         todo = sorted(set(range(self.n_buckets)) - done)
         bucketed = with_bucket(inputs, self.n_buckets, key)
         if todo:
+            self.dir.mkdir(parents=True, exist_ok=True)
+            self._recover(done)
+            staging = self.dir / "_staging"
             pending = bucketed.filter(F.col("doc_bucket").isin(todo))
             t0 = time.time()
             out = compute(pending)
@@ -68,28 +96,47 @@ class StageCheckpoint:
             rows_in = (
                 pending.groupBy("doc_bucket").count().withColumnRenamed("count", "rows_in")
             )
-            out.write.mode("append").partitionBy("doc_bucket").parquet(str(self.dir))
-            rows_out = (
-                spark.read.parquet(str(self.dir))
-                .filter(F.col("doc_bucket").isin(todo))
-                .groupBy("doc_bucket")
-                .count()
-                .withColumnRenamed("count", "rows_out")
-            )
+            out.write.mode("overwrite").partitionBy("doc_bucket").parquet(str(staging))
+            # publish: per-bucket atomic rename (same filesystem). At
+            # production scale this is the Iceberg snapshot commit; the
+            # staging+rename protocol is its parquet-dir stand-in.
+            published = []
+            for p in sorted(staging.glob("doc_bucket=*")):
+                target = self.dir / p.name
+                os.replace(p, target)
+                published.append(target)
+            shutil.rmtree(staging, ignore_errors=True)
+            if published:
+                rows_out_rows = (
+                    spark.read.option("basePath", str(self.dir))
+                    .parquet(*[str(t) for t in published])
+                    .groupBy("doc_bucket")
+                    .count()
+                    .withColumnRenamed("count", "rows_out")
+                )
+            else:
+                rows_out_rows = None
+            stats = {}
+            if rows_out_rows is not None:
+                joined = rows_in.join(rows_out_rows, "doc_bucket", "full")
+            else:
+                joined = rows_in.withColumn("rows_out", F.lit(0))
             stats = {
                 int(r["doc_bucket"]): {
                     "rows_in": int(r["rows_in"] or 0),
                     "rows_out": int(r["rows_out"] or 0),
                 }
-                for r in rows_in.join(rows_out, "doc_bucket", "full").collect()
+                for r in joined.collect()
             }
             wall = time.time() - t0
             for b in todo:
                 entry = stats.get(b, {"rows_in": 0, "rows_out": 0})
                 entry["wall_ms"] = int(wall * 1000 / max(len(todo), 1))
                 manifest["buckets"][str(b)] = entry
-            self.dir.mkdir(parents=True, exist_ok=True)
-            self.manifest_path.write_text(json.dumps(manifest, indent=1))
+            # atomic manifest commit (write-temp + rename)
+            tmp = self.manifest_path.with_suffix(".json.tmp")
+            tmp.write_text(json.dumps(manifest, indent=1))
+            os.replace(tmp, self.manifest_path)
         return spark.read.parquet(str(self.dir))
 
     def metrics(self) -> dict:

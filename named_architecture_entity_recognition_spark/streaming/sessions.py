@@ -42,64 +42,77 @@ _STATE_SCHEMA = (
 )
 
 
-def _sessionize(
-    key: Tuple[Any],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    gap_s = 1800.0
-    user_id = key[0]
-    closed = []
+def _make_sessionize(gap_s: float):
+    """Build the per-group state function for a given session gap.
+    Emitted ``sum_value`` is rounded to 4 decimals on BOTH close paths
+    (in-batch and timeout) so stream output matches ``sessionize_batch``
+    / the DuckDB oracle exactly; the running sum in the state store
+    stays full-precision (rounding mid-session would accumulate error)."""
 
-    if state.hasTimedOut:
+    def _sessionize(
+        key: Tuple[Any],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user_id = key[0]
+        closed = []
+
+        def close(start, end, n, sv):
+            closed.append((user_id, start, end, n, round(sv, 4)))
+
+        if state.hasTimedOut:
+            if state.exists:
+                start, last_ts, n, sv = state.get
+                close(start, last_ts, n, sv)
+                state.remove()
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end", "n_events", "sum_value"],
+            )
+            return
+
         if state.exists:
             start, last_ts, n, sv = state.get
-            closed.append((user_id, start, last_ts, n, sv))
-            state.remove()
+        else:
+            start = last_ts = None
+            n, sv = 0, 0.0
+
+        events = pd.concat(list(pdfs)).sort_values("ts")
+        for ts, value in zip(events["ts"], events["value"]):
+            ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+            if last_ts is not None and (ts - last_ts).total_seconds() >= gap_s:
+                close(start, last_ts, n, sv)
+                start, n, sv = ts, 0, 0.0
+            if start is None:
+                start = ts
+            last_ts = ts
+            n += 1
+            sv += float(value)
+
+        state.update((start, last_ts, n, sv))
+        # close the open session if no event arrives within gap (event time)
+        state.setTimeoutTimestamp(
+            int(last_ts.timestamp() * 1000) + int(gap_s * 1000)
+        )
         yield pd.DataFrame(
             closed,
             columns=["user_id", "session_start", "session_end", "n_events", "sum_value"],
         )
-        return
 
-    if state.exists:
-        start, last_ts, n, sv = state.get
-    else:
-        start = last_ts = None
-        n, sv = 0, 0.0
-
-    events = pd.concat(list(pdfs)).sort_values("ts")
-    for ts, value in zip(events["ts"], events["value"]):
-        ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
-        if last_ts is not None and (ts - last_ts).total_seconds() >= gap_s:
-            closed.append((user_id, start, last_ts, n, sv))
-            start, n, sv = ts, 0, 0.0
-        if start is None:
-            start = ts
-        last_ts = ts
-        n += 1
-        sv += float(value)
-
-    state.update((start, last_ts, n, round(sv, 6)))
-    # close the open session if no event arrives within gap (event time)
-    state.setTimeoutTimestamp(
-        int(last_ts.timestamp() * 1000) + int(gap_s * 1000)
-    )
-    yield pd.DataFrame(
-        closed,
-        columns=["user_id", "session_start", "session_end", "n_events", "sum_value"],
-    )
+    return _sessionize
 
 
 def sessionize_stream(
-    events_stream: DataFrame, watermark: str = "1 hour"
+    events_stream: DataFrame,
+    watermark: str = "1 hour",
+    gap_minutes: int = 30,
 ) -> DataFrame:
     """events(ts, user_id, value) stream -> closed-session rows."""
     return (
         events_stream.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _sessionize,
+            _make_sessionize(gap_minutes * 60.0),
             outputStructType=SESSION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",

@@ -41,6 +41,66 @@ def test_deterministic_vs_partitioning(spark):
     assert cc_map(e1) == cc_map(e2)
 
 
+def test_wide_star_converges_fast(spark):
+    """Hot-surface shape at scale: 10^5 entities all sharing one surface
+    form make a star of 1e5 edges around one hub node. Min-label
+    propagation + pointer jumping must converge in <=4 iterations (one
+    action each), and every node must land on the hub-star's min label."""
+    n = 100_000
+    edges = (
+        spark.range(n)
+        .select(
+            F.concat(F.lit("doc"), F.format_string("%06d", "id")).alias("src"),
+            F.lit("name:hotterm").alias("dst"),
+        )
+    )
+    stats = {}
+    comp = connected_components(edges, stats=stats)
+    rows = comp.collect()
+    assert len(rows) == n + 1
+    assert {r.component for r in rows} == {"doc000000"}
+    assert stats["iterations"] <= 4
+
+
+def test_reliable_checkpoint_dir_option(spark, tmp_path):
+    """checkpoint_dir engages RELIABLE checkpointing (survives executor
+    loss at scale): iteration state must be written under the dir and
+    results identical to the localCheckpoint path."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    ckpt = tmp_path / "cc_ckpt"
+    m = {
+        r.node: r.component
+        for r in connected_components(
+            edges, checkpoint_dir=str(ckpt)
+        ).collect()
+    }
+    assert m == cc_map(edges)
+    assert any(ckpt.rglob("*"))  # reliable checkpoint files were written
+
+
+def test_null_alternative_names_not_dropped(spark):
+    """Entities read from external tables can carry NULL
+    alternative_names; their own-name edge must survive (ADVICE r1) so
+    cross-doc linking still unifies them."""
+    from named_architecture_entity_recognition_spark.operators.cc import (
+        canonicalize_corpus,
+    )
+
+    ents = spark.createDataFrame(
+        [
+            ("d1", "BBB web", "COMPONENT", None, []),
+            ("d2", "bbb-web", "COMPONENT", None, []),
+        ],
+        "doc_id string, name string, entity_type string, "
+        "alternative_names array<string>, occurrences array<struct<sent_no:int,ref_type:string>>",
+    )
+    canon = canonicalize_corpus(ents).select("doc_id", "canonical_id")
+    rows = {r.doc_id: r.canonical_id for r in canon.collect()}
+    assert rows["d1"] == rows["d2"]
+
+
 def test_canonicalize_aliases_unifies_pools(spark):
     entities = spark.createDataFrame(
         [

@@ -60,6 +60,58 @@ def test_candidates_never_drop_a_matching_entry(names, line):
             )
 
 
+cfg_strategy = st.builds(
+    MatcherConfig,
+    fuzzy_threshold=st.sampled_from([0.80, 0.87, 0.90, 0.95]),
+    stem_min_prefix=st.sampled_from([5, 7]),
+    max_window=st.sampled_from([3, 4]),
+    enable_fuzzy=st.booleans(),
+    enable_stem=st.booleans(),
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    names=st.lists(name_strategy, min_size=1, max_size=8, unique=True),
+    line=line_strategy,
+    cfg=cfg_strategy,
+)
+def test_candidates_never_drop_under_any_config(names, line, cfg):
+    """Same no-under-approximation invariant at NON-default configs
+    (lower fuzzy threshold, stems toggled) — the index posting lists
+    must stay complete for whatever cfg they were compiled with."""
+    gaz = compile_gazetteer(names, cfg)
+    lv = LineView(line)
+    cand_ids = {id(e) for e in gaz.candidates(lv, cfg)}
+    for entry in gaz:
+        if _surface_matches(lv, entry, cfg):
+            assert id(entry) in cand_ids, (
+                f"entry {entry.name!r} matches line {line!r} under "
+                f"{cfg} but was not generated as a candidate"
+            )
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    names=st.lists(name_strategy, min_size=1, max_size=8, unique=True),
+    line=line_strategy,
+    cfg=cfg_strategy,
+)
+def test_detect_doc_recompiles_on_cfg_mismatch(names, line, cfg):
+    """detect_doc called with a cfg differing from the index's
+    compile-time cfg must behave as if the index were compiled with the
+    runtime cfg (it recompiles internally — ADVICE r1)."""
+    from named_architecture_entity_recognition_spark.operators.matching import (
+        detect_doc,
+    )
+
+    default_gaz = compile_gazetteer(names, CFG)
+    fresh_gaz = compile_gazetteer(names, cfg)
+    got = detect_doc([line], default_gaz, cfg)
+    want = detect_doc([line], fresh_gaz, cfg)
+    assert got == want
+
+
 @settings(max_examples=100, deadline=None)
 @given(
     names=st.lists(name_strategy, min_size=1, max_size=8, unique=True),

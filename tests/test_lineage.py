@@ -72,6 +72,50 @@ def test_partial_resume_completes_missing_buckets(spark, docs, tmp_path):
     assert st3.completed_buckets() == {0, 1, 2, 3}
 
 
+def test_crash_between_write_and_manifest_no_duplicates(spark, docs, tmp_path):
+    """The r1-flagged resume-atomicity hazard: a crash AFTER bucket data
+    lands but BEFORE the manifest records it must not duplicate rows on
+    resume. Simulated by erasing a bucket's manifest entry while leaving
+    its published data on disk — exactly the post-crash state."""
+    root = str(tmp_path / "ckpt4")
+
+    def compute(pending):
+        return pending.select("doc_id", "doc_bucket")
+
+    st = StageCheckpoint(root, "ids", n_buckets=4)
+    first = st.run(compute, docs)
+    baseline = sorted(r.doc_id for r in first.collect())
+    # crash state: bucket 1 data published, manifest never committed
+    m = json.loads(st.manifest_path.read_text())
+    del m["buckets"]["1"]
+    st.manifest_path.write_text(json.dumps(m))
+    assert any(st.dir.glob("doc_bucket=1"))  # orphaned data IS on disk
+    st2 = StageCheckpoint(root, "ids", n_buckets=4)
+    out = st2.run(compute, docs)
+    got = sorted(r.doc_id for r in out.collect())
+    assert got == baseline  # recomputed once, not appended twice
+    assert st2.completed_buckets() == {0, 1, 2, 3}
+
+
+def test_crash_mid_staging_is_cleaned(spark, docs, tmp_path):
+    """A crash during the staging write leaves _staging garbage; the
+    next run must discard it and still produce exact output."""
+    root = str(tmp_path / "ckpt5")
+
+    def compute(pending):
+        return pending.select("doc_id", "doc_bucket")
+
+    st = StageCheckpoint(root, "ids", n_buckets=2)
+    # fake a dead run: partial staging output, no manifest
+    staging = st.dir / "_staging" / "doc_bucket=0"
+    staging.mkdir(parents=True)
+    (staging / "part-garbage.parquet").write_bytes(b"not parquet")
+    out = st.run(compute, docs)
+    assert out.count() == 24
+    assert not (st.dir / "_staging").exists()
+    assert st.completed_buckets() == {0, 1}
+
+
 def test_metrics_recorded(spark, docs, tmp_path):
     root = str(tmp_path / "ckpt3")
     st = StageCheckpoint(root, "ids", n_buckets=2)

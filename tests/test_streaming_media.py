@@ -163,7 +163,12 @@ def test_stateful_sessionization_stream_matches_batch(spark, tmp_path):
     batch = sessionize_batch(spark.read.parquet(src))
     assert got.count() == 6  # 2 closed + 1 still-open session per user
     assert batch.count() == 9
+    # sum_value in the join key: stream-emitted sums (rounded to 4) must
+    # equal the batch/oracle round(sum, 4) exactly, not just the window
+    # boundaries (ADVICE r1)
     j = got.join(
-        batch, ["user_id", "session_start", "session_end", "n_events"], "inner"
+        batch,
+        ["user_id", "session_start", "session_end", "n_events", "sum_value"],
+        "inner",
     )
     assert j.count() == got.count()
