@@ -485,7 +485,7 @@ def _q_naer_entities(spark, sf):
         "name",
         "entity_type",
         F.concat_ws(",", "alternative_names").alias("aliases"),
-        F.size("occurrences").alias("n_occurrences"),
+        F.size("occurrences").cast("long").alias("n_occurrences"),
     )
 
 
@@ -503,9 +503,25 @@ def _q_ann_lsh_topk(spark, sf):
 
 def _q_simhash(spark, sf):
     from named_architecture_entity_recognition_spark.operators.dedup import simhash64
+    from named_architecture_entity_recognition_spark.session import (
+        ensure_parallelism,
+    )
 
-    d = _read(spark, sf, "documents")
+    d = ensure_parallelism(_read(spark, sf, "documents"))
     return d.select("doc_id", simhash64(F.col("text"), 2).alias("simhash_bits"))
+
+
+def _q_simhash_pairs(spark, sf):
+    """Hamming-<=k near-dup candidate pairs via pigeonhole block
+    bucketing over 64-bit SimHash (operators/dedup.py simhash_pairs):
+    block equi-join, never all-pairs."""
+    from named_architecture_entity_recognition_spark.operators.dedup import (
+        simhash_pairs,
+    )
+
+    return simhash_pairs(
+        _read(spark, sf, "documents"), max_hamming=15, shingle_n=2
+    )
 
 
 def _q_answer_window_f4(spark, sf):
@@ -554,23 +570,40 @@ def _q_json_parse_p1(spark, sf):
 
 def _q_structured_parse_p2(spark, sf):
     """P2 structured-text state-machine parse (NamedEntityParser.java:
-    78-186) over synthetic answer blobs; pandas-UDF per blob, so no SQL
-    oracle (rows-only check)."""
+    78-186) over synthetic answer blobs in the reference's own format
+    (occurrence rows ``name, 'sentence'``, alt rows ``name: a, b`` /
+    ``name: None``). Every 7th doc carries a malformed occurrence line,
+    exercising the quarantine path (L3). The blob shape is fixed, so the
+    state machine's output is SQL-derivable: value-oracled since r2."""
     from named_architecture_entity_recognition_spark.parsers.answers import (
         parse_structured_answers,
     )
 
-    d = _read(spark, sf, "documents").select(
-        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("doc_id"),
-        F.concat(
-            F.lit("COMPONENT entities recognized:\n"),
-            F.split("text", r"\s+")[0],
-            F.lit(": occurrence\nAlternative names:\n"),
-            F.split("text", r"\s+")[0],
-            F.lit(": None"),
-        ).alias("answer"),
+    d = _read(spark, sf, "documents")
+    w = F.split(F.trim("text"), r"\s+")
+    head = F.concat_ws(" ", F.slice(w, 1, 5))
+    good = F.concat(
+        F.lit("COMPONENT entities recognized:\n"),
+        w[0], F.lit(", '"), head, F.lit("'\n"),
+        w[1], F.lit(", '"), head, F.lit("'\n"),
+        F.lit("Alternative names:\n"),
+        w[0], F.lit(": "), w[1], F.lit(", "), w[2], F.lit("\n"),
+        w[1], F.lit(": None"),
     )
-    return parse_structured_answers(d)
+    bad = F.lit("COMPONENT entities recognized:\nbroken line no quotes")
+    answers = d.select(
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.when(F.pmod("doc_id", F.lit(7)) == 0, bad).otherwise(good).alias("answer"),
+    )
+    out = parse_structured_answers(answers)
+    return out.select(
+        "doc_id",
+        "name",
+        "entity_type",
+        F.concat_ws(",", "alternative_names").alias("aliases"),
+        F.concat_ws("|", "occ_texts").alias("occs"),
+        "error",
+    )
 
 
 def _q_media_features(spark, sf):
@@ -776,11 +809,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_occurrence_lines_a2": _q_occurrence_lines_a2,
         "q_lowercase_f7": _q_lowercase_f7,
         "q_set_ops": _q_set_ops,
-        # rows-only (non-SQL-expressible: mapInPandas pipeline / LSH conv)
         "q_naer_triples": _q_naer_triples,
         "q_naer_entities": _q_naer_entities,
         "q_ann_lsh_topk": _q_ann_lsh_topk,
         "q_simhash": _q_simhash,
+        "q_simhash_pairs": _q_simhash_pairs,
         "q_answer_window_f4": _q_answer_window_f4,
         "q_json_parse_p1": _q_json_parse_p1,
         "q_structured_parse_p2": _q_structured_parse_p2,
@@ -804,6 +837,46 @@ def oracle_sql() -> dict[str, str]:
     )
     words = "string_split_regex(trim(lower(text)), '\\s+')"
     sh = shingle3.format(w=words)
+    # Flagship oracle: over this corpus (31-word lowercase space-separated
+    # vocabulary; none of the matcher's guard/anaphora trigger words exist
+    # and no token-window can collide with a gazetteer charset), the full
+    # rule cascade provably reduces to R_EXACT token membership per 8-word
+    # sentence chunk — so the KG output is exactly SQL-expressible. The
+    # reduction's premises are pinned by tests/test_flagship_oracle.py,
+    # which fails if the corpus or gazetteer ever gains a guard word.
+    gaz_list = ",".join(f"'{g}'" for g in _FLAGSHIP_GAZETTEER)
+    # 2-word shingles, distinct (Spark shingles() semantics)
+    sh2 = (
+        "list_distinct(list_transform(generate_series(1, greatest(len({w}) - 1, 0)), "
+        "i -> array_to_string({w}[i:i+1], ' ')))"
+    ).format(w=words)
+    # 64-bit SimHash bit-string: string position p = bit 63-p of the
+    # uint64 from the first 16 md5 hex chars (MSB-first nibbles)
+    simhash_expr = (
+        f"(WITH s AS (SELECT list_transform({sh2}, "
+        "x -> ('0x' || substr(md5(x), 1, 16))::UBIGINT) AS hs) "
+        "SELECT array_to_string(list_transform(generate_series(0, 63), p -> "
+        "CASE WHEN 2 * len(list_filter(hs, h -> ((h >> (63 - p)) & 1) = 1)) "
+        ">= len(hs) THEN '1' ELSE '0' END), '') FROM s)"
+    )
+    # deterministic md5 hyperplane component u(p, d), seed 42, in [-1, 1]
+    plane_u = (
+        "((('0x' || substr(md5('42:' || p || ':' || (d - 1)), 1, 8))::UBIGINT"
+        " / 2147483648.0) - 1.0)"
+    )
+    lsh_bucket = (
+        "array_to_string(list_transform(generate_series(0, 5), p -> "
+        "CASE WHEN list_sum(list_transform(generate_series(1, len(v)), d -> "
+        f"v[d] * {plane_u})) >= 0 THEN '1' ELSE '0' END), '')"
+    )
+    flag_occ = (
+        "WITH ws AS (SELECT 'doc' || doc_id AS doc_id, "
+        "string_split_regex(trim(text), '\\s+') AS w FROM documents), "
+        "tok AS (SELECT doc_id, w[i] AS name, ((i - 1) // 8 + 1) AS sent_no "
+        "FROM ws, unnest(generate_series(1, len(w))) AS t(i)), "
+        f"occ AS (SELECT DISTINCT doc_id, name, sent_no FROM tok "
+        f"WHERE name IN ({gaz_list}))"
+    )
     return {
         "q_validate_f1": (
             "SELECT doc_id, (text IS NOT NULL AND length(trim(text)) > 0 "
@@ -993,6 +1066,65 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.src, r.m FROM edges e JOIN r ON e.dst = r.node) "
             "SELECT node, min(m) AS component FROM r GROUP BY node) "
             "SELECT node, component FROM reach"
+        ),
+        "q_naer_triples": (
+            flag_occ + ", ent AS (SELECT DISTINCT doc_id, name FROM occ) "
+            "SELECT doc_id || '#' || name AS subj, 'instanceOf' AS pred, "
+            "'COMPONENT' AS obj FROM ent "
+            "UNION ALL SELECT doc_id || '#' || name, 'hasName', name FROM ent "
+            "UNION ALL SELECT doc_id || '#' || name, 'occursIn', "
+            "doc_id || '#s' || sent_no || '#DIRECT' FROM occ"
+        ),
+        "q_naer_entities": (
+            flag_occ + " SELECT doc_id, name, 'COMPONENT' AS entity_type, "
+            "'' AS aliases, count(*)::BIGINT AS n_occurrences "
+            "FROM occ GROUP BY doc_id, name"
+        ),
+        "q_ann_lsh_topk": (
+            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+            f"b AS (SELECT vec_id, v, {lsh_bucket} AS bucket FROM e), "
+            "q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5), "
+            "scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, "
+            "round(list_dot_product(c.v, q.qv) / (sqrt(list_dot_product(c.v, c.v)) * "
+            "sqrt(list_dot_product(q.qv, q.qv))), 6)::DOUBLE AS score "
+            "FROM b c JOIN q ON c.bucket = q.bucket), "
+            "ranked AS (SELECT query_id, neighbor_id, score, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank "
+            "FROM scored) "
+            "SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5"
+        ),
+        "q_simhash": (
+            f"SELECT doc_id, {simhash_expr} AS simhash_bits FROM documents"
+        ),
+        "q_simhash_pairs": (
+            f"WITH sig AS (SELECT doc_id, {simhash_expr} AS sig FROM documents), "
+            "banded AS (SELECT doc_id, sig, b AS block_idx, "
+            "substr(sig, b * 4 + 1, 4) AS block "
+            "FROM sig, unnest(generate_series(0, 15)) AS t(b)), "
+            "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "a.sig AS sa, b.sig AS sb FROM banded a JOIN banded b "
+            "ON a.block_idx = b.block_idx AND a.block = b.block "
+            "AND a.doc_id < b.doc_id), "
+            "h AS (SELECT doc_a, doc_b, len(list_filter(generate_series(1, 64), "
+            "i -> substr(sa, i, 1) != substr(sb, i, 1)))::INT AS hamming FROM pairs) "
+            "SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 15"
+        ),
+        "q_structured_parse_p2": (
+            "WITH base AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w "
+            "FROM documents), "
+            "p AS (SELECT 'doc' || doc_id AS doc_id, (doc_id % 7 = 0) AS is_err, "
+            "w[1] AS w0, w[2] AS w1, w[3] AS w2, "
+            "array_to_string(w[1:5], ' ') AS head FROM base) "
+            "SELECT doc_id, NULL AS name, NULL AS entity_type, '' AS aliases, "
+            "'' AS occs, "
+            "'invalid occurrence format: ''broken line no quotes''' AS error "
+            "FROM p WHERE is_err "
+            "UNION ALL SELECT doc_id, w0, 'COMPONENT', "
+            "array_to_string(list_sort(list_distinct([w1, w2])), ','), "
+            "CASE WHEN w0 = w1 THEN head || '|' || head ELSE head END, NULL "
+            "FROM p WHERE NOT is_err "
+            "UNION ALL SELECT doc_id, w1, 'COMPONENT', '', head, NULL "
+            "FROM p WHERE NOT is_err AND w0 != w1"
         ),
         "q_answer_window_f4": (
             "WITH p AS (SELECT doc_id, 'noise [' || substr(text, 1, 40) || '] tail'"

@@ -81,8 +81,93 @@ def test_simhash_similar_docs_close(docs):
     ).collect()}
     def hamming(a, b):
         return sum(x != y for x, y in zip(a, b))
+    assert all(len(bits) == 64 for bits in sh.values())
     assert hamming(sh[1], sh[2]) == 0
     assert hamming(sh[1], sh[3]) < hamming(sh[1], sh[4])
+
+
+def test_simhash64_matches_python_reference(spark):
+    """Bit-exactness of the Catalyst expression vs a plain-Python
+    SimHash over the same md5 source (pins layout: string position p =
+    bit 63-p of the first 16 md5 hex chars)."""
+    import hashlib
+
+    texts = ["spark merge scan window", "batch hash sort agg table row"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.bits
+        for r in df.select(
+            "doc_id", simhash64(F.col("text"), 2).alias("bits")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        ws = t.lower().split()
+        sh = list(dict.fromkeys(
+            " ".join(ws[k:k + 2]) for k in range(len(ws) - 1)
+        ))
+        counts = [0] * 64
+        for s in sh:
+            v = int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+            for p in range(64):
+                counts[p] += (v >> (63 - p)) & 1
+        want = "".join(
+            "1" if 2 * c >= len(sh) else "0" for c in counts
+        )
+        assert got[i] == want
+
+
+def test_simhash_pairs_pigeonhole_complete(spark):
+    """simhash_pairs must find EVERY pair within max_hamming (pigeonhole
+    guarantee: k+1 blocks -> at least one block equal), verified against
+    a brute-force all-pairs Hamming scan."""
+    from named_architecture_entity_recognition_spark.operators.dedup import (
+        simhash_pairs,
+    )
+
+    base = " ".join(f"w{i}" for i in range(80))  # 79 distinct shingles
+    texts = [base]
+    # successive small edits => a spread of Hamming distances (each word
+    # edit flips only ~2/79 shingles, so simhash moves a few bits)
+    for k in range(1, 12):
+        ws = base.split()
+        for j in range(k):
+            ws[5 + 6 * j] = f"edit{k}_{j}"
+        texts.append(" ".join(ws))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sig = {
+        r.doc_id: r.sig
+        for r in df.select(
+            "doc_id", simhash64(F.col("text"), 2).alias("sig")
+        ).collect()
+    }
+    def hamming(a, b):
+        return sum(x != y for x, y in zip(a, b))
+    for max_h in (3, 7):
+        want = {
+            (a, b, hamming(sig[a], sig[b]))
+            for a in sig for b in sig
+            if a < b and hamming(sig[a], sig[b]) <= max_h
+        }
+        got = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_pairs(df, max_hamming=max_h).collect()
+        }
+        assert got == want
+        assert want  # the fixture must actually produce close pairs
+
+
+def test_simhash_pairs_rejects_bad_block_count(spark):
+    from named_architecture_entity_recognition_spark.operators.dedup import (
+        simhash_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        simhash_pairs(df, max_hamming=4)  # 5 does not divide 64
 
 
 @pytest.fixture(scope="module")

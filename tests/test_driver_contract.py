@@ -13,13 +13,11 @@ import __spark_entry__ as entrymod
 
 SF = "/root/testdata/sf0.001"
 
-#: pandas-UDF / iterative operators with no SQL-expressible oracle
+#: operators with no SQL-expressible oracle. Since r2 only the media
+#: stub remains rows-only: the flagship pipeline, LSH ANN, SimHash and
+#: the P2 state machine are all value-oracled (md5-portable exprs or a
+#: provable reduction — see test_flagship_oracle.py).
 ROWS_ONLY = {
-    "q_naer_triples",
-    "q_naer_entities",
-    "q_ann_lsh_topk",
-    "q_simhash",
-    "q_structured_parse_p2",
     "q_media_features",
 }
 
