@@ -103,6 +103,23 @@ _THAN_BEFORE = re.compile(r"(?i)\bthan\s+$")
 # preferences", "their data"): a person's belongings, not the component.
 _POSSESSIVE_BEFORE = re.compile(r"(?i)\b(his|her|their|its|my|your)\s+$")
 
+# Quantified mass-noun usage of a common-word name ("a little bit of
+# logic attached", "some amount of storage"): talks about the concept,
+# not the component (benchmark evidence: jabref line 5 vs the annotated
+# subject usage "The logic is responsible ..." one line later).
+_QUANTITY_OF_BEFORE = re.compile(
+    r"(?i)\b(bit|bits|amount|amounts|piece|pieces|lot|lots|kind|kinds|"
+    r"type|types)\s+of\s+$"
+)
+
+# Copular CLASS definition right after the name ("Logic is a Facade
+# class which ..."): the sentence defines a Java CLASS of that name —
+# a NamedEntityType.CLASS mention, not the COMPONENT (the reference
+# distinguishes these types, model/NamedEntityType.java:8; benchmark
+# evidence: teammates line 88 is annotated Storage-only while line 87
+# "Logic API is represented by ..." is an annotated Logic occurrence).
+_CLASS_COPULAR_AFTER = re.compile(r"^\s+is\s+an?\s+(\w+[\s\-])*?class\b", re.IGNORECASE)
+
 
 def _generic_exact_context(line: str, start: int) -> bool:
     """True if an exact surface hit at ``start`` is a generic (non-
@@ -565,9 +582,12 @@ def _surface_matches(lv: LineView, entry: GazEntry, cfg: MatcherConfig):
                 m
                 and not entry.pkg_regex.search(lv.low)
                 and not _possessive_before(line, m.start())
+                and not _QUANTITY_OF_BEFORE.search(line[: m.start()])
             ):
                 tail = line[m.end():]
-                if not re.match(r"[\s\-]+(tests?|testing)\b", tail, re.IGNORECASE):
+                if not re.match(
+                    r"[\s\-]+(tests?|testing)\b", tail, re.IGNORECASE
+                ) and not _CLASS_COPULAR_AFTER.match(tail):
                     out.append(
                         ("R_EXACT", _char_to_token_range(spans, m.start(), m.end()))
                     )
