@@ -180,23 +180,81 @@ def _q_direct_classify_j2(spark, sf):
 
 
 def _q_eval_pr_j5(spark, sf):
+    """Single-job P/R: one full-outer join + one aggregate (no
+    driver-side counts; the whole metric is one Spark job)."""
     d = _read(spark, sf, "documents")
-    rec = d.filter(F.lower("text").contains("spark")).select("doc_id")
-    gold = d.filter(F.col("n_chars") > 150).select("doc_id")
-    tp = rec.join(gold, "doc_id").count()
-    fp = rec.join(gold, "doc_id", "left_anti").count()
-    fn = gold.join(rec, "doc_id", "left_anti").count()
-    return spark.createDataFrame(
-        [
-            (
-                tp,
-                fp,
-                fn,
-                round(tp / max(tp + fp, 1), 6),
-                round(tp / max(tp + fn, 1), 6),
-            )
-        ],
-        "tp long, fp long, fn long, precision double, recall double",
+    rec = d.filter(F.lower("text").contains("spark")).select(
+        "doc_id", F.lit(1).alias("r")
+    )
+    gold = d.filter(F.col("n_chars") > 150).select(
+        "doc_id", F.lit(1).alias("g")
+    )
+    j = rec.join(gold, "doc_id", "full")
+    agg = j.agg(
+        F.sum(F.when(F.col("r").isNotNull() & F.col("g").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("tp"),
+        F.sum(F.when(F.col("g").isNull(), 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(F.col("r").isNull(), 1).otherwise(0)).cast("long").alias("fn"),
+    )
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        F.round(
+            F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)), 6
+        ).alias("precision"),
+        F.round(
+            F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)), 6
+        ).alias("recall"),
+    )
+
+
+def _q_eval_pr_complex(spark, sf):
+    """Reference-type-aware evaluation: the extension named by the empty
+    placeholder test/.../ComplexComponentOccurrence.java:4-6 — occurrence
+    identity is (name, sentence, ref_type) instead of (name, sentence).
+    Both eval modes run over the same synthetic rec/gold (even docs carry
+    an extra INDIRECT occurrence that simple mode credits but complex
+    mode double-faults, since gold is all-DIRECT per
+    GoldstandardParser.java:270-297); the full distributed evaluate plan
+    (alias pools, name unification join, dedup, anti-joins) must land on
+    the exact per-mode constants."""
+    from named_architecture_entity_recognition_spark.plans.evaluate import (
+        evaluate,
+    )
+
+    d = _read(spark, sf, "documents")
+    w = F.split(F.trim("text"), r"\s+")
+    even = F.pmod("doc_id", F.lit(2)) == 0
+    occ = lambda n, t: F.struct(  # noqa: E731
+        F.lit(n).alias("sent_no"), F.lit(t).alias("ref_type")
+    )
+    rec = d.select(
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("doc_id"),
+        w[0].alias("name"),
+        F.lit("COMPONENT").alias("entity_type"),
+        F.array(w[1]).alias("alternative_names"),
+        F.when(
+            even, F.array(occ(1, "DIRECT"), occ(2, "INDIRECT"))
+        ).otherwise(F.array(occ(1, "DIRECT"))).alias("occurrences"),
+    )
+    gold = d.select(
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("doc_id"),
+        w[1].alias("component_name"),
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("sentence"),
+    )
+    simple = evaluate(rec, gold, "simple").withColumn("mode", F.lit("simple"))
+    cx = evaluate(rec, gold, "complex").withColumn("mode", F.lit("complex"))
+    out = simple.unionByName(cx)
+    return out.select(
+        "doc_id",
+        "mode",
+        "tp",
+        "fp",
+        "fn",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
     )
 
 
@@ -446,18 +504,23 @@ def _q_lowercase_f7(spark, sf):
 
 
 def _q_set_ops(spark, sf):
+    """Set intersection/difference as ONE join+aggregate job (customer
+    keys are unique, orders deduped on the build side) — no driver-side
+    counts, no createDataFrame."""
     c = _read(spark, sf, "customer")
     o = _read(spark, sf, "orders")
     with_orders = o.select(F.col("o_custkey").alias("k")).dropDuplicates()
-    positive = c.filter(F.col("c_acctbal") > 0).select(F.col("c_custkey").alias("k"))
-    return spark.createDataFrame(
-        [
-            (
-                with_orders.intersect(positive).count(),
-                positive.exceptAll(positive.join(with_orders, "k", "semi")).count(),
-            )
-        ],
-        "n_both long, n_only_positive long",
+    positive = c.filter(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").alias("k")
+    )
+    j = positive.join(with_orders.withColumn("w", F.lit(1)), "k", "left")
+    return j.agg(
+        F.sum(F.when(F.col("w").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_both"),
+        F.sum(F.when(F.col("w").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_only_positive"),
     )
 
 
@@ -603,6 +666,60 @@ def _q_structured_parse_p2(spark, sf):
         F.concat_ws(",", "alternative_names").alias("aliases"),
         F.concat_ws("|", "occ_texts").alias("occs"),
         "error",
+    )
+
+
+def _q_repair_parse(spark, sf):
+    """L2/L3 two-part repair flow (recognizer/NamedEntityRecognizer.java:
+    57-81 + TwoPartPrompt.java:134-144): strict JSON parse first; failures
+    get the reference's repair prompt (expected format + invalid output +
+    parse error) and a deterministic repair pass that re-reads the answer
+    as the reference's structured-text grammar (P2); rows failing both
+    are quarantined. Three synthetic populations by doc_id%3: valid JSON
+    (strict), structured text (repaired), free prose (quarantined).
+    Every branch is template-generated from a bracket/quote-free
+    vocabulary, so the whole flow, including the assembled repair prompt,
+    is value-oracled."""
+    from named_architecture_entity_recognition_spark.parsers.answers import (
+        repair_parse,
+    )
+
+    d = _read(spark, sf, "documents")
+    w = F.split(F.trim("text"), r"\s+")
+    head = F.concat_ws(" ", F.slice(w, 1, 5))
+    json_ans = F.concat(
+        F.lit('Sure, here is the JSON:\n[{"name":"'), w[0],
+        F.lit('","type":"COMPONENT","alternativeNames":["'), w[1],
+        F.lit('"],"occurrences":["'), head,
+        F.lit('"]}]\nHope that helps!'),
+    )
+    structured_ans = F.concat(
+        F.lit("COMPONENT entities recognized:\n"),
+        w[0], F.lit(", '"), head, F.lit("'\n"),
+        w[1], F.lit(", '"), head, F.lit("'\n"),
+        F.lit("Alternative names:\n"),
+        w[0], F.lit(": "), w[1], F.lit(", "), w[2], F.lit("\n"),
+        w[1], F.lit(": None"),
+    )
+    garbage = F.lit("this is free prose with no recognizable output structure")
+    m = F.pmod("doc_id", F.lit(3))
+    answers = d.select(
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.when(m == 0, json_ans)
+        .when(m == 1, structured_ans)
+        .otherwise(garbage)
+        .alias("answer"),
+    )
+    out = repair_parse(answers)
+    return out.select(
+        "doc_id",
+        "name",
+        "entity_type",
+        F.concat_ws(",", "alternative_names").alias("aliases"),
+        F.concat_ws("|", "occ_texts").alias("occs"),
+        "stage",
+        "error",
+        "repair_prompt",
     )
 
 
@@ -789,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_a3": _q_dedup_a3,
         "q_direct_classify_j2": _q_direct_classify_j2,
         "q_eval_pr_j5": _q_eval_pr_j5,
+        "q_eval_pr_complex": _q_eval_pr_complex,
         "q_pricing_summary": _q_pricing_summary,
         "q_revenue_by_nation": _q_revenue_by_nation,
         "q_segment_top_customer": _q_segment_top_customer,
@@ -817,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_answer_window_f4": _q_answer_window_f4,
         "q_json_parse_p1": _q_json_parse_p1,
         "q_structured_parse_p2": _q_structured_parse_p2,
+        "q_repair_parse": _q_repair_parse,
         "q_media_features": _q_media_features,
         "q_gazetteer_link_j4": _q_gazetteer_link_j4,
         "q_embed_neardup": _q_embed_neardup,
@@ -830,6 +949,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from named_architecture_entity_recognition_spark.parsers.answers import (
+        ERR_NO_JSON_ARRAY,
+        EXPECTED_JSON_FORMAT,
+    )
+
+    # exact repair-prompt template (NamedEntityRecognizer.java:65-67);
+    # importing the constants keeps SQL and operator from drifting. The
+    # template contains no single quotes, so it embeds verbatim.
+    repair_prefix = (
+        "The following output is invalid. Reformat it so it precisely "
+        "adheres to the following output format:\n"
+        + EXPECTED_JSON_FORMAT
+        + "\n\nInvalid output to reformat:\n"
+    )
+    repair_suffix = (
+        "\nThis error occurred when trying to parse it:\n" + ERR_NO_JSON_ARRAY
+    )
+    garbage_prose = "this is free prose with no recognizable output structure"
     stopwords = "'the','a','an','and','or','of','to','in','is','are','for','on','with','as','by','it','this','that','from','at','be'"
     shingle3 = (
         "list_transform(generate_series(1, greatest(len({w}) - 2, 0)), "
@@ -1125,6 +1262,53 @@ def oracle_sql() -> dict[str, str]:
             "FROM p WHERE NOT is_err "
             "UNION ALL SELECT doc_id, w1, 'COMPONENT', '', head, NULL "
             "FROM p WHERE NOT is_err AND w0 != w1"
+        ),
+        "q_eval_pr_complex": (
+            # the evaluate plan must land on these exact per-mode
+            # constants (derivation in _q_eval_pr_complex's docstring)
+            "WITH p AS (SELECT 'doc' || doc_id AS doc_id, "
+            "doc_id % 2 = 0 AS even FROM documents) "
+            "SELECT doc_id, 'simple' AS mode, "
+            "(CASE WHEN even THEN 2 ELSE 1 END)::BIGINT AS tp, "
+            "0::BIGINT AS fp, "
+            "(CASE WHEN even THEN 0 ELSE 1 END)::BIGINT AS fn, "
+            "1.0::DOUBLE AS precision, "
+            "(CASE WHEN even THEN 1.0 ELSE 0.5 END)::DOUBLE AS recall, "
+            "(CASE WHEN even THEN 1.0 ELSE 0.666667 END)::DOUBLE AS f1 "
+            "FROM p "
+            "UNION ALL SELECT doc_id, 'complex', 1::BIGINT, "
+            "(CASE WHEN even THEN 1 ELSE 0 END)::BIGINT, 1::BIGINT, "
+            "(CASE WHEN even THEN 0.5 ELSE 1.0 END)::DOUBLE, 0.5::DOUBLE, "
+            "(CASE WHEN even THEN 0.5 ELSE 0.666667 END)::DOUBLE FROM p"
+        ),
+        "q_repair_parse": (
+            "WITH base AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w "
+            "FROM documents), "
+            "p AS (SELECT 'doc' || doc_id AS doc_id, doc_id % 3 AS m, "
+            "w[1] AS w0, w[2] AS w1, w[3] AS w2, "
+            "array_to_string(w[1:5], ' ') AS head FROM base), "
+            "ans AS (SELECT *, CASE WHEN m = 1 THEN "
+            "'COMPONENT entities recognized:' || chr(10) || "
+            "w0 || ', ''' || head || '''' || chr(10) || "
+            "w1 || ', ''' || head || '''' || chr(10) || "
+            "'Alternative names:' || chr(10) || "
+            "w0 || ': ' || w1 || ', ' || w2 || chr(10) || "
+            "w1 || ': None' "
+            f"WHEN m = 2 THEN '{garbage_prose}' END AS answer FROM p), "
+            "rp AS (SELECT *, $rp$" + repair_prefix + "$rp$ || answer || "
+            "$rs$" + repair_suffix + "$rs$ AS repair_prompt FROM ans) "
+            "SELECT doc_id, w0 AS name, 'COMPONENT' AS entity_type, "
+            "w1 AS aliases, head AS occs, 'strict' AS stage, "
+            "NULL AS error, NULL AS repair_prompt FROM p WHERE m = 0 "
+            "UNION ALL SELECT doc_id, w0, 'COMPONENT', "
+            "array_to_string(list_sort(list_distinct([w1, w2])), ','), "
+            "CASE WHEN w0 = w1 THEN head || '|' || head ELSE head END, "
+            "'repaired', NULL, repair_prompt FROM rp WHERE m = 1 "
+            "UNION ALL SELECT doc_id, w1, 'COMPONENT', '', head, "
+            "'repaired', NULL, repair_prompt FROM rp WHERE m = 1 AND w0 != w1 "
+            "UNION ALL SELECT doc_id, NULL, NULL, '', '', 'quarantined', "
+            "'entity type not specified before: ''" + garbage_prose + "''', "
+            "repair_prompt FROM rp WHERE m = 2"
         ),
         "q_answer_window_f4": (
             "WITH p AS (SELECT doc_id, 'noise [' || substr(text, 1, 40) || '] tail'"

@@ -191,6 +191,136 @@ def parse_structured_answers(answers: DataFrame) -> DataFrame:
     return answers.mapInPandas(process, schema=PARSED)
 
 
+#: the JSON structure a TwoPartPrompt answer must adhere to
+#: (recognizer/TwoPartPrompt.java:89-99, getExpectedOutputFormat)
+EXPECTED_JSON_FORMAT = (
+    '[\n    {\n        "name": "...",\n        "type": "COMPONENT",\n'
+    '        "alternativeNames": [...],\n        "occurrences": [...]\n'
+    "    },\n    ...\n]"
+)
+
+#: reference error when an answer has no '['..']' window
+#: (recognizer/TwoPartPrompt.java:140-141, parseAnswer)
+ERR_NO_JSON_ARRAY = "No valid JSON array found."
+ERR_INVALID_JSON = "invalid JSON entity array"
+
+
+def build_repair_prompt(answer_col, error_col) -> "F.Column":
+    """L3 repair-prompt assembly (recognizer/NamedEntityRecognizer.java:
+    65-67): expected output format + the invalid output + the parse
+    error, verbatim in the reference's template. Pure Catalyst concat —
+    codegen'd, no Python."""
+    return F.concat(
+        F.lit(
+            "The following output is invalid. Reformat it so it precisely "
+            "adheres to the following output format:\n"
+        ),
+        F.lit(EXPECTED_JSON_FORMAT),
+        F.lit("\n\nInvalid output to reformat:\n"),
+        answer_col,
+        F.lit("\nThis error occurred when trying to parse it:\n"),
+        error_col,
+    )
+
+
+#: PARSED plus the repair-flow bookkeeping columns
+REPAIRED = StructType(
+    PARSED.fields
+    + [
+        StructField("stage", StringType(), False),
+        StructField("repair_prompt", StringType(), True),
+    ]
+)
+
+
+def repair_parse(answers: DataFrame) -> DataFrame:
+    """L2/L3 two-stage parse with repair-retry (recognizer/
+    NamedEntityRecognizer.java:57-81).
+
+    Stage 'strict': the answer's '['..']' window parsed as the strict
+    JSON entity array (P1). Answers that parse cleanly never pay for
+    stage two.
+
+    Stage 'repaired': for answers whose strict parse failed, the repair
+    prompt is assembled exactly as the reference does (expected format +
+    invalid output + error message) and the deterministic stand-in for
+    the repair model re-reads the invalid output as the reference's
+    structured-text format (P2 state machine) — the reference's own
+    two-part flow converts that same free-form format to JSON
+    (TwoPartPrompt.java:119-131), so the P2 grammar IS the repairable
+    language.
+
+    Stage 'quarantined': still unparseable; the row carries the error
+    and the repair prompt instead of failing the job (the reference
+    throws UncheckedIOException at :78 — a 10^12-doc batch job records
+    and moves on).
+
+    Plan shape: one scan, two branches over it (Catalyst from_json for
+    strict; Arrow-batched mapInPandas confined to the failed residue).
+    No shuffle anywhere — every stage is per-row.
+    """
+    windowed = answers.select(
+        "doc_id",
+        "answer",
+        F.regexp_extract("answer", r"(?s)(\[.*\])", 1).alias("win"),
+    ).withColumn(
+        "es",
+        F.when(
+            F.length("win") > 0, F.from_json("win", ENTITY_JSON_SCHEMA)
+        ).otherwise(F.lit(None).cast(ENTITY_JSON_SCHEMA)),
+    )
+
+    strict_ok = (
+        windowed.filter(F.col("es").isNotNull())
+        .select("doc_id", F.explode("es").alias("e"))
+        .select(
+            "doc_id",
+            F.col("e.name").alias("name"),
+            F.col("e.type").alias("entity_type"),
+            F.coalesce("e.alternativeNames", F.array().cast("array<string>")).alias(
+                "alternative_names"
+            ),
+            F.coalesce("e.occurrences", F.array().cast("array<string>")).alias(
+                "occ_texts"
+            ),
+            F.lit(None).cast("string").alias("error"),
+            F.lit("strict").alias("stage"),
+            F.lit(None).cast("string").alias("repair_prompt"),
+        )
+    )
+
+    failed = windowed.filter(F.col("es").isNull()).select(
+        "doc_id",
+        "answer",
+        F.when(F.length("win") > 0, F.lit(ERR_INVALID_JSON))
+        .otherwise(F.lit(ERR_NO_JSON_ARRAY))
+        .alias("parse_error"),
+    )
+    failed = failed.withColumn(
+        "repair_prompt", build_repair_prompt(F.col("answer"), F.col("parse_error"))
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in REPAIRED.fields]
+        for pdf in batches:
+            rows = []
+            for doc_id, answer, prompt in zip(
+                pdf["doc_id"], pdf["answer"], pdf["repair_prompt"]
+            ):
+                parsed = _parse_structured_text(doc_id, answer or "")
+                if not parsed:
+                    parsed = [
+                        (doc_id, None, None, None, None, "empty payload")
+                    ]
+                for r in parsed:
+                    stage = "quarantined" if r[5] is not None else "repaired"
+                    rows.append(r + (stage, prompt))
+            yield pd.DataFrame(rows, columns=cols)
+
+    repaired = failed.mapInPandas(process, schema=REPAIRED)
+    return strict_ok.unionByName(repaired)
+
+
 def resolve_parsed(parsed: DataFrame, sentences: DataFrame) -> DataFrame:
     """PARSED rows -> entities rows: resolve occ_texts by J1 then
     classify by J2, drop unresolved (reference -1 semantics)."""

@@ -56,21 +56,36 @@ def unify_names(recognized: DataFrame, gold_entities: DataFrame) -> DataFrame:
     )
 
 
-def occurrence_pairs(entities: DataFrame, unified: DataFrame) -> DataFrame:
-    """Flatten to distinct (doc_id, name, sent_no) with unified names;
-    unmatched entities keep cleanComponentName(name) (the reference
-    leaves them under their own name)."""
+def occurrence_pairs(
+    entities: DataFrame, unified: DataFrame, mode: str = "simple"
+) -> DataFrame:
+    """Flatten to distinct occurrence pairs with unified names; unmatched
+    entities keep cleanComponentName(name) (the reference leaves them
+    under their own name).
+
+    mode 'simple': (doc_id, name, sent_no) — the reference's
+    SimpleComponentOccurrence identity ("in alignment with the
+    information we currently have in the goldstandards",
+    SimpleComponentOccurrence.java:10-12).
+    mode 'complex': adds ref_type — the extension the reference's empty
+    ComplexComponentOccurrence.java:4-6 placeholder names ("can be
+    extended if the goldstandards are extended"): an INDIRECT mention at
+    a gold-DIRECT sentence no longer counts as a hit.
+    """
     e = entities.join(unified, ["doc_id", "name"], "left").withColumn(
         "final_name",
         F.coalesce("unified_name", clean_component_name(F.col("name"))),
     )
+    cols = [
+        F.col("doc_id"),
+        F.col("final_name").alias("name"),
+        F.col("occ.sent_no").alias("sent_no"),
+    ]
+    if mode == "complex":
+        cols.append(F.col("occ.ref_type").alias("ref_type"))
     return (
         e.select("doc_id", "final_name", F.explode("occurrences").alias("occ"))
-        .select(
-            "doc_id",
-            F.col("final_name").alias("name"),
-            F.col("occ.sent_no").alias("sent_no"),
-        )
+        .select(*cols)
         .dropDuplicates()
     )
 
@@ -92,32 +107,46 @@ def gold_as_entities(gold: DataFrame) -> DataFrame:
     )
 
 
-def evaluate(recognized: DataFrame, gold: DataFrame) -> DataFrame:
-    """Per-doc precision/recall/F1 of (name, sentence) pairs.
+def evaluate(
+    recognized: DataFrame, gold: DataFrame, mode: str = "simple"
+) -> DataFrame:
+    """Per-doc precision/recall/F1 of occurrence pairs.
 
     recognized: entities shape. gold: (doc_id, component_name, sentence).
+    mode 'simple' keys pairs by (name, sentence); 'complex' by
+    (name, sentence, ref_type) — see occurrence_pairs. Gold rows are all
+    DIRECT (GoldstandardParser.java:270-297), so in complex mode a
+    recognized INDIRECT occurrence is both a FP and a FN.
     """
+    if mode not in ("simple", "complex"):
+        raise ValueError(f"unknown eval mode: {mode!r}")
     gold_e = lowercase_all_names(gold_as_entities(gold))
     rec_e = lowercase_all_names(recognized)
     unified = unify_names(rec_e, gold_e)
-    rec_pairs = occurrence_pairs(rec_e, unified)
+    rec_pairs = occurrence_pairs(rec_e, unified, mode)
+    gold_cols = [
+        F.col("doc_id"),
+        clean_component_name(F.col("name")).alias("name"),
+        F.col("occ.sent_no").alias("sent_no"),
+    ]
+    if mode == "complex":
+        gold_cols.append(F.col("occ.ref_type").alias("ref_type"))
     gold_pairs = (
         gold_e.select("doc_id", "name", F.explode("occurrences").alias("occ"))
-        .select(
-            "doc_id",
-            clean_component_name(F.col("name")).alias("name"),
-            F.col("occ.sent_no").alias("sent_no"),
-        )
+        .select(*gold_cols)
         .dropDuplicates()
     )
-    tp = rec_pairs.join(gold_pairs, ["doc_id", "name", "sent_no"]).groupBy(
+    keys = ["doc_id", "name", "sent_no"] + (
+        ["ref_type"] if mode == "complex" else []
+    )
+    tp = rec_pairs.join(gold_pairs, keys).groupBy(
         "doc_id"
     ).agg(F.count("*").alias("tp"))
     fp = rec_pairs.join(
-        gold_pairs, ["doc_id", "name", "sent_no"], "left_anti"
+        gold_pairs, keys, "left_anti"
     ).groupBy("doc_id").agg(F.count("*").alias("fp"))
     fn = gold_pairs.join(
-        rec_pairs, ["doc_id", "name", "sent_no"], "left_anti"
+        rec_pairs, keys, "left_anti"
     ).groupBy("doc_id").agg(F.count("*").alias("fn"))
     out = (
         tp.join(fp, "doc_id", "full")

@@ -130,3 +130,72 @@ def test_resolve_drops_unresolvable(spark, sentences):
     assert [(o.sent_no, o.ref_type) for o in rows["Auth"].occurrences] == [
         (3, "DIRECT")
     ]
+
+
+# ---------------------------------------------------------------- L2/L3 repair
+def test_repair_parse_three_stages(spark):
+    """Two-stage repair flow (NamedEntityRecognizer.java:57-81): strict
+    JSON first, structured-text repair second, quarantine last."""
+    from named_architecture_entity_recognition_spark.parsers.answers import (
+        ERR_NO_JSON_ARRAY,
+        EXPECTED_JSON_FORMAT,
+        repair_parse,
+    )
+
+    answers = spark.createDataFrame(
+        [
+            (
+                "d_json",
+                'prose [{"name":"WebUI","type":"COMPONENT",'
+                '"alternativeNames":["UI"],"occurrences":["x"]}] tail',
+            ),
+            (
+                "d_structured",
+                "COMPONENT entities recognized:\n"
+                "Auth, 'The Auth checks logins.'\n"
+                "Alternative names:\nAuth: None",
+            ),
+            ("d_garbage", "no recognizable structure at all"),
+            ("d_empty", ""),
+        ],
+        "doc_id string, answer string",
+    )
+    rows = {r.doc_id: r for r in repair_parse(answers).collect()}
+
+    assert rows["d_json"].stage == "strict"
+    assert rows["d_json"].name == "WebUI"
+    assert rows["d_json"].alternative_names == ["UI"]
+    assert rows["d_json"].error is None
+    assert rows["d_json"].repair_prompt is None
+
+    assert rows["d_structured"].stage == "repaired"
+    assert rows["d_structured"].name == "Auth"
+    assert rows["d_structured"].occ_texts == ["The Auth checks logins."]
+    # the repair prompt carries format + invalid output + error, in the
+    # reference's exact template order (NamedEntityRecognizer.java:65-67)
+    rp = rows["d_structured"].repair_prompt
+    assert rp.startswith("The following output is invalid.")
+    assert EXPECTED_JSON_FORMAT in rp
+    assert "Invalid output to reformat:\nCOMPONENT entities recognized:" in rp
+    assert rp.endswith(ERR_NO_JSON_ARRAY)
+
+    assert rows["d_garbage"].stage == "quarantined"
+    assert "entity type not specified" in rows["d_garbage"].error
+    assert rows["d_empty"].stage == "quarantined"
+    assert rows["d_empty"].error == "empty payload"
+
+
+def test_repair_parse_invalid_json_window_error(spark):
+    """A present-but-malformed [..] window reports the invalid-JSON
+    error, not the no-array error, in the repair prompt."""
+    from named_architecture_entity_recognition_spark.parsers.answers import (
+        ERR_INVALID_JSON,
+        repair_parse,
+    )
+
+    answers = spark.createDataFrame(
+        [("d1", "[not json at all]")], "doc_id string, answer string"
+    )
+    row = repair_parse(answers).collect()[0]
+    assert row.stage == "quarantined"
+    assert row.repair_prompt.endswith(ERR_INVALID_JSON)
