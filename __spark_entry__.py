@@ -350,6 +350,61 @@ def _q_lsh_pairs(spark, sf):
     )
 
 
+def _q_dup_clusters(spark, sf):
+    """Near-dup CLUSTERS (the actionable form of dedup at scale):
+    LSH candidate pairs -> connected components -> per-document
+    (cluster_id, keep) verdict; singletons keep themselves. Same LSH
+    params as q_lsh_pairs, so the oracle extends that CTE with the
+    recursive-CTE component closure."""
+    from named_architecture_entity_recognition_spark.operators.corpus import (
+        dup_clusters,
+    )
+
+    return dup_clusters(
+        _read(spark, sf, "documents"), n_hashes=4, bands=2, shingle_n=3
+    )
+
+
+def _q_hash_split(spark, sf):
+    """Deterministic train/val/test split by md5 hash bucket: stable
+    across runs/engines/backfills, no shuffle, no Python."""
+    from named_architecture_entity_recognition_spark.operators.corpus import (
+        hash_split,
+    )
+
+    return hash_split(
+        _read(spark, sf, "documents").select("doc_id"), salt="split-v1"
+    )
+
+
+def _q_pack_sequences(spark, sf):
+    """Token-budget sequence packing: greedy prefix packing per source
+    via ONE window (exclusive running sum / budget); last doc of a pack
+    may overflow by one document (approximate packing by design)."""
+    from named_architecture_entity_recognition_spark.operators.corpus import (
+        pack_sequences,
+    )
+
+    return pack_sequences(
+        _read(spark, sf, "documents"), budget_tokens=256, part_col="source"
+    )
+
+
+def _q_contamination(spark, sf):
+    """Benchmark-contamination check: shingle-containment of eval docs
+    (doc_id%10==0) inside train docs — inverted-index join on the
+    shingle, never all-pairs; containment is asymmetric (a train doc
+    fully containing an eval doc scores 1.0 regardless of its length)."""
+    from named_architecture_entity_recognition_spark.operators.corpus import (
+        contamination,
+    )
+
+    d = _read(spark, sf, "documents")
+    ev = d.filter(F.pmod("doc_id", F.lit(10)) == 0)
+    tr = d.filter(F.pmod("doc_id", F.lit(10)) != 0)
+    return contamination(tr, ev, shingle_n=3, threshold=0.05)
+
+
 def _q_ngram_jaccard(spark, sf):
     from named_architecture_entity_recognition_spark.operators.dedup import shingles
 
@@ -914,6 +969,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exact_dedup": _q_exact_dedup,
         "q_minhash_sig": _q_minhash_sig,
         "q_lsh_pairs": _q_lsh_pairs,
+        "q_dup_clusters": _q_dup_clusters,
+        "q_hash_split": _q_hash_split,
+        "q_pack_sequences": _q_pack_sequences,
+        "q_contamination": _q_contamination,
         "q_ngram_jaccard": _q_ngram_jaccard,
         "q_token_count": _q_token_count,
         "q_quality": _q_quality,
@@ -967,6 +1026,15 @@ def oracle_sql() -> dict[str, str]:
         "\nThis error occurred when trying to parse it:\n" + ERR_NO_JSON_ARRAY
     )
     garbage_prose = "this is free prose with no recognizable output structure"
+    # hash_split boundaries: replicate the operator's float arithmetic
+    # bit-for-bit (0.8+0.1 != 0.9 in IEEE doubles), embedding exact reprs
+    _hs_weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    _hs_total = sum(_hs_weights.values())
+    _hs_bounds = []
+    _hs_cum = 0.0
+    for _name, _w in list(_hs_weights.items())[:-1]:
+        _hs_cum += _w / _hs_total
+        _hs_bounds.append((_name, repr(_hs_cum)))
     stopwords = "'the','a','an','and','or','of','to','in','is','are','for','on','with','as','by','it','this','that','from','at','be'"
     shingle3 = (
         "list_transform(generate_series(1, greatest(len({w}) - 2, 0)), "
@@ -1110,6 +1178,60 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a "
             "JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key "
             "AND a.doc_id < b.doc_id"
+        ),
+        "q_dup_clusters": (
+            f"WITH sig AS (SELECT doc_id, list_transform(generate_series(0, 3), "
+            f"seed -> list_min(list_transform({sh}, s -> md5(seed::VARCHAR || s)))) AS s "
+            "FROM documents), banded AS ("
+            "SELECT doc_id, b AS band_idx, array_to_string(s[b*2+1:b*2+2], '|') AS band_key "
+            "FROM sig, unnest(generate_series(0, 1)) AS t(b)), "
+            "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM banded a JOIN banded b ON a.band_idx = b.band_idx "
+            "AND a.band_key = b.band_key AND a.doc_id < b.doc_id), "
+            "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+            "UNION SELECT doc_b, doc_a FROM pairs), "
+            "nodes AS (SELECT DISTINCT src AS node FROM edges), "
+            "reach AS (WITH RECURSIVE r(node, m) AS ("
+            "SELECT node, node FROM nodes UNION "
+            "SELECT e.src, r.m FROM edges e JOIN r ON e.dst = r.node) "
+            "SELECT node, min(m) AS comp FROM r GROUP BY node) "
+            "SELECT d.doc_id, coalesce(rc.comp, d.doc_id) AS cluster_id, "
+            "(coalesce(rc.comp, d.doc_id) = d.doc_id) AS keep "
+            "FROM documents d LEFT JOIN reach rc ON rc.node = d.doc_id"
+        ),
+        "q_hash_split": (
+            "WITH f AS (SELECT doc_id, "
+            "('0x' || substr(md5('split-v1' || doc_id::VARCHAR), 1, 8))::UBIGINT"
+            "::DOUBLE / 4294967296.0 AS frac FROM documents) "
+            "SELECT doc_id, CASE "
+            + " ".join(
+                f"WHEN frac < {b} THEN '{n}'" for n, b in _hs_bounds
+            )
+            + " ELSE 'test' END AS split FROM f"
+        ),
+        "q_pack_sequences": (
+            "WITH t AS (SELECT doc_id, source AS part, "
+            "len(string_split_regex(trim(text), '\\s+'))::INT AS n_tokens "
+            "FROM documents), "
+            "p AS (SELECT doc_id, part, n_tokens, "
+            "floor(coalesce(sum(n_tokens) OVER (PARTITION BY part ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256)::INT "
+            "AS pack_no FROM t) "
+            "SELECT doc_id, part, n_tokens, pack_no, "
+            "part || '#' || pack_no::VARCHAR AS pack_id FROM p"
+        ),
+        "q_contamination": (
+            f"WITH ev0 AS (SELECT doc_id AS eval_id, list_distinct({sh}) AS shl "
+            "FROM documents WHERE doc_id % 10 = 0), "
+            "ev AS (SELECT eval_id, unnest(shl) AS sh FROM ev0), "
+            "evs AS (SELECT eval_id, len(shl) AS n FROM ev0), "
+            f"tr AS (SELECT doc_id AS train_id, unnest(list_distinct({sh})) AS sh "
+            "FROM documents WHERE doc_id % 10 != 0), "
+            "shared AS (SELECT eval_id, train_id, count(*) AS n_shared "
+            "FROM ev JOIN tr USING (sh) GROUP BY 1, 2) "
+            "SELECT eval_id, train_id, round(n_shared / n, 6) AS containment "
+            "FROM shared JOIN evs USING (eval_id) "
+            "WHERE round(n_shared / n, 6) >= 0.05"
         ),
         "q_ngram_jaccard": (
             f"WITH sh AS (SELECT doc_id, list_distinct({sh}) AS s FROM documents) "

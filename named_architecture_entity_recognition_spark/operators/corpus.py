@@ -1,0 +1,224 @@
+"""Corpus-management operators for large-scale training-data pipelines:
+duplicate clustering, deterministic splits, sequence packing, and
+benchmark-contamination checks.
+
+These complete the dedup story: pairwise candidates (operators/dedup.py)
+are not actionable at 100 TB — the pipeline needs per-document verdicts
+(keep/drop) and cluster representatives, deterministic train/val/test
+assignment that survives re-runs and backfills, packing of short
+documents into fixed token budgets, and an eval-set leakage check.
+
+Portability rule (same as dedup.py): all hashing is md5-based so every
+operator has an exact DuckDB oracle. Everything is Catalyst built-ins —
+no Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from named_architecture_entity_recognition_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    shingles,
+)
+
+
+def dup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_iter: int = 10,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: LSH candidate pairs -> connected
+    components -> (doc_id, cluster_id, keep).
+
+    cluster_id = min doc_id in the component; keep = (doc_id ==
+    cluster_id), i.e. one canonical representative per duplicate
+    cluster. Docs with no near-dup are singleton clusters (keep=true),
+    included via a left join back to the corpus — the output is a
+    per-document verdict, directly joinable as the dedup filter of a
+    training pipeline.
+
+    Scale: pairs come from the banded LSH equi-join (never all-pairs);
+    CC is min-label propagation with one action per iteration
+    (operators/cc.py); the final join back to docs is a shuffle on
+    doc_id. Duplicate clusters are small (near-dup transitivity), so CC
+    converges in 2-3 iterations.
+    """
+    from named_architecture_entity_recognition_spark.operators.cc import (
+        connected_components,
+    )
+
+    pairs = minhash_lsh_pairs(
+        docs, text_col=text_col, n_hashes=n_hashes, bands=bands, shingle_n=shingle_n
+    )
+    # CC labels compare as strings; zero-pad numeric ids so the
+    # lexicographic min IS the numeric min ("02" < "10", unlike "2")
+    ids = docs.select("doc_id")
+    doc_type = dict(ids.dtypes)["doc_id"]
+    numeric = doc_type in ("tinyint", "smallint", "int", "bigint")
+
+    def key(c):
+        c = c.cast("string")
+        return F.lpad(c, 20, "0") if numeric else c
+
+    edges = pairs.select(
+        key(F.col("doc_a")).alias("src"), key(F.col("doc_b")).alias("dst")
+    )
+    comp = connected_components(
+        edges, max_iter=max_iter, checkpoint_dir=checkpoint_dir
+    )
+    joined = ids.join(
+        comp.select(
+            F.col("node").cast(doc_type).alias("doc_id"),
+            F.col("component").cast(doc_type).alias("comp"),
+        ),
+        "doc_id",
+        "left",
+    )
+    # comp includes the node itself in its reachable set, so comp <=
+    # doc_id whenever present; absent (no near-dup) -> singleton cluster
+    return joined.select(
+        "doc_id",
+        F.coalesce("comp", "doc_id").alias("cluster_id"),
+    ).withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    salt: str = "split-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hash bucket.
+
+    frac(doc) = first 8 hex chars of md5(salt || id) / 16^8 — uniform on
+    [0,1), stable across runs, engines and backfills (new docs never
+    move old docs between splits, unlike random/modulo-on-row-number
+    splits). The salt versions the split: bump it to reshuffle.
+
+    Output: docs columns + split. Pure per-row expression — no shuffle,
+    no Python, trivially pushes through to any downstream filter
+    (``split = 'train'`` prunes at scan time if materialized as a
+    partition column).
+    """
+    if weights is None:
+        weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    frac = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(16**8))
+    )
+    cum = 0.0
+    expr = None
+    items = list(weights.items())
+    for name, wgt in items[:-1]:
+        cum += wgt / total
+        cond = frac < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return docs.withColumn("split", expr)
+
+
+def token_count(col) -> Column:
+    """Whitespace token count (textstats-compatible)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(F.trim(c), r"\s+"))
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int,
+    part_col: str = "source",
+    text_col: str = "text",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Pack documents into ~budget_tokens groups for sequence training.
+
+    Greedy prefix packing per partition key: docs are ordered by
+    ``order_col`` within ``part_col``; pack_no = floor(exclusive-cumsum
+    of token counts / budget). Every pack holds consecutive docs whose
+    combined tokens reach the budget (the last doc may overflow by at
+    most one document — standard approximate packing; exact bin packing
+    is NP-hard and order-destroying).
+
+    Scale: ONE window shuffle on part_col. Deterministic total order
+    inside each partition key. If one source dominates (skew), pre-split
+    it by a hash sub-key upstream — packing only requires
+    *some* stable grouping, not a specific one.
+
+    Output: (doc_id, part, n_tokens, pack_no, pack_id).
+    """
+    w = (
+        Window.partitionBy("part")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = docs.select(
+        F.col(order_col).alias("doc_id"),
+        F.col(part_col).alias("part"),
+        token_count(text_col).alias("n_tokens"),
+    )
+    packed = toks.withColumn(
+        "pack_no",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(budget_tokens)
+        ).cast("int"),
+    )
+    return packed.withColumn(
+        "pack_id", F.concat_ws("#", "part", F.col("pack_no").cast("string"))
+    )
+
+
+def contamination(
+    train: DataFrame,
+    evalset: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark-contamination check: which eval documents leak into the
+    training corpus?
+
+    Containment (asymmetric, unlike Jaccard): for each (eval, train)
+    pair sharing at least one shingle, score = |shingles(eval) ∩
+    shingles(train)| / |shingles(eval)|. A training doc that CONTAINS an
+    eval doc scores 1.0 even if it is much longer — exactly the leakage
+    case Jaccard under-weights.
+
+    Plan: inverted-index equi-join on the shingle (never all-pairs),
+    count shared shingles per pair (map-side partial agg), divide by the
+    eval doc's shingle count. Ubiquitous shingles fan out the join — at
+    production scale drop shingles whose train document frequency
+    exceeds a cap first (they carry no leakage signal); flagged here
+    rather than silently applied.
+
+    Output: (eval_id, train_id, containment) with containment >=
+    threshold.
+    """
+    ev = evalset.select(
+        F.col("doc_id").alias("eval_id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    ev_sizes = ev.groupBy("eval_id").agg(F.count("*").alias("n_eval_sh"))
+    tr = train.select(
+        F.col("doc_id").alias("train_id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    shared = (
+        ev.join(tr, "sh")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    scored = shared.join(ev_sizes, "eval_id").select(
+        "eval_id",
+        "train_id",
+        F.round(F.col("n_shared") / F.col("n_eval_sh"), 6).alias("containment"),
+    )
+    return scored.filter(F.col("containment") >= threshold)

@@ -1,0 +1,120 @@
+"""Corpus-management operators (operators/corpus.py): duplicate
+clustering, deterministic splits, sequence packing, contamination."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from named_architecture_entity_recognition_spark.operators.corpus import (
+    contamination,
+    dup_clusters,
+    hash_split,
+    pack_sequences,
+)
+
+
+def test_dup_clusters_numeric_ids_min_representative(spark):
+    """Cluster representative must be the NUMERIC min doc_id — string
+    ordering would pick 10 over 2 ("10" < "2")."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(2, base), (10, base), (7, base), (99, "totally different words here that share nothing at all")],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in dup_clusters(docs, n_hashes=4, bands=2).collect()}
+    assert rows[2].cluster_id == 2 and rows[2].keep
+    assert rows[10].cluster_id == 2 and not rows[10].keep
+    assert rows[7].cluster_id == 2 and not rows[7].keep
+    # no near-dup -> singleton cluster, kept
+    assert rows[99].cluster_id == 99 and rows[99].keep
+
+
+def test_dup_clusters_transitive(spark):
+    """A~B and B~C (but A!~C under one band) still land in one cluster
+    via connected components."""
+    a = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, a), (2, a), (3, a)], "doc_id bigint, text string"
+    )
+    out = dup_clusters(docs, n_hashes=4, bands=2).collect()
+    assert {r.cluster_id for r in out} == {1}
+    assert sorted(r.doc_id for r in out if r.keep) == [1]
+
+
+def test_hash_split_deterministic_and_stable_under_backfill(spark):
+    docs = spark.range(1000).withColumnRenamed("id", "doc_id")
+    s1 = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    s2 = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    assert s1 == s2
+    # adding new docs never moves existing docs between splits
+    bigger = spark.range(2000).withColumnRenamed("id", "doc_id")
+    s3 = {r.doc_id: r.split for r in hash_split(bigger).collect()}
+    assert all(s3[k] == v for k, v in s1.items())
+    # roughly the right proportions (md5 uniformity; wide tolerance)
+    n_train = sum(1 for v in s1.values() if v == "train")
+    assert 700 <= n_train <= 900
+    assert set(s1.values()) == {"train", "val", "test"}
+
+
+def test_hash_split_salt_reshuffles(spark):
+    docs = spark.range(500).withColumnRenamed("id", "doc_id")
+    s1 = {r.doc_id: r.split for r in hash_split(docs, salt="v1").collect()}
+    s2 = {r.doc_id: r.split for r in hash_split(docs, salt="v2").collect()}
+    assert s1 != s2  # astronomically unlikely to coincide
+
+
+def test_pack_sequences_matches_python_spec(spark):
+    """pack_no == floor(exclusive-cumsum / budget), exactly; pack totals
+    never exceed budget + the straddling doc's size."""
+    sizes = [10 + i % 7 for i in range(100)]
+    docs = spark.createDataFrame(
+        [(i, "src", "tok " * sizes[i]) for i in range(100)],
+        "doc_id bigint, source string, text string",
+    )
+    out = {r.doc_id: r for r in pack_sequences(docs, budget_tokens=50).collect()}
+    cum = 0
+    packs: dict = {}
+    for i, sz in enumerate(sizes):
+        expect = cum // 50
+        assert out[i].pack_no == expect, (i, out[i].pack_no, expect)
+        assert out[i].n_tokens == sz
+        packs[expect] = packs.get(expect, 0) + sz
+        cum += sz
+    max_doc = max(sizes)
+    assert all(total < 50 + max_doc for total in packs.values())
+    # no doc here exceeds the budget, so pack numbers are dense from 0
+    assert sorted(packs) == list(range(max(packs) + 1))
+
+
+def test_pack_sequences_partition_isolation(spark):
+    """Packing never mixes partition keys; ordering inside a key is by
+    doc_id."""
+    docs = spark.createDataFrame(
+        [(1, "a", "x " * 30), (2, "b", "y " * 30), (3, "a", "z " * 30)],
+        "doc_id bigint, source string, text string",
+    )
+    out = {(r.part, r.doc_id): r for r in pack_sequences(docs, 40).collect()}
+    assert out[("a", 1)].pack_no == 0
+    assert out[("a", 3)].pack_no == 0  # 30 tokens before it < 40
+    assert out[("b", 2)].pack_no == 0
+    assert out[("a", 1)].pack_id == "a#0" and out[("b", 2)].pack_id == "b#0"
+
+
+def test_contamination_asymmetric_full_containment(spark):
+    """A long train doc containing an eval doc verbatim scores 1.0;
+    Jaccard of the same pair would be far below 1."""
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id bigint, text string"
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "prefix words alpha beta gamma delta epsilon and a long "
+                "suffix with many extra tokens continuing on and on"),
+            (2, "nothing shared at all in this one whatsoever"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = contamination(tr, ev, shingle_n=3, threshold=0.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.eval_id, r.train_id) == (100, 1)
+    assert r.containment == pytest.approx(1.0)
