@@ -619,6 +619,21 @@ def _q_ann_lsh_topk(spark, sf):
     return cosine_topk_lsh(e, qs, k=5, n_planes=6)
 
 
+def _q_ann_ivf_topk(spark, sf):
+    """IVF ANN: zero-shuffle centroid assignment (literal centroids from
+    the first 16 corpus ids — offline-k-means stand-in), queries probe
+    their 4 nearest inverted lists, exact cosine inside probed lists."""
+    from named_architecture_entity_recognition_spark.operators.similarity import (
+        cosine_topk_ivf,
+    )
+
+    e = _read(spark, sf, "embeddings")
+    qs = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_ivf(e, qs, k=5, n_centroids=16, nprobe=4)
+
+
 def _q_simhash(spark, sf):
     from named_architecture_entity_recognition_spark.operators.dedup import simhash64
     from named_architecture_entity_recognition_spark.session import (
@@ -989,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_naer_triples": _q_naer_triples,
         "q_naer_entities": _q_naer_entities,
         "q_ann_lsh_topk": _q_ann_lsh_topk,
+        "q_ann_ivf_topk": _q_ann_ivf_topk,
         "q_simhash": _q_simhash,
         "q_simhash_pairs": _q_simhash_pairs,
         "q_answer_window_f4": _q_answer_window_f4,
@@ -1271,6 +1287,35 @@ def oracle_sql() -> dict[str, str]:
         "q_fingerprint": (
             "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
             " AS fingerprint FROM documents"
+        ),
+        "q_ann_ivf_topk": (
+            # cos(a,b) inline; centroid cid = row_number-1 over vec_id
+            # (mirrors the operator's enumerate over the first-16 rows);
+            # tie-breaks: assignment/probe prefer HIGHER cid on equal
+            # sim (Spark array_max struct ordering), rank prefers lower
+            # neighbor_id on equal rounded score
+            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+            "cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, "
+            "v AS cv FROM e ORDER BY vec_id LIMIT 16), "
+            "asg0 AS (SELECT e.vec_id, e.v, c.cid, "
+            "list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * "
+            "sqrt(list_dot_product(c.cv, c.cv))) AS s FROM e CROSS JOIN cents c), "
+            "asg AS (SELECT vec_id, v, cid FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY vec_id ORDER BY s DESC, cid DESC) AS rn FROM asg0) "
+            "WHERE rn = 1), "
+            "q0 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5), "
+            "qp AS (SELECT query_id, qv, cid FROM (SELECT q0.query_id, q0.qv, "
+            "c.cid, row_number() OVER (PARTITION BY q0.query_id ORDER BY "
+            "list_dot_product(q0.qv, c.cv) / (sqrt(list_dot_product(q0.qv, q0.qv)) * "
+            "sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid DESC) AS rn "
+            "FROM q0 CROSS JOIN cents c) WHERE rn <= 4), "
+            "cand AS (SELECT qp.query_id, a.vec_id AS neighbor_id, "
+            "round(list_dot_product(a.v, qp.qv) / (sqrt(list_dot_product(a.v, a.v)) * "
+            "sqrt(list_dot_product(qp.qv, qp.qv))), 6)::DOUBLE AS score "
+            "FROM qp JOIN asg a ON a.cid = qp.cid) "
+            "SELECT query_id, neighbor_id, score, rank FROM (SELECT *, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, "
+            "neighbor_id ASC) AS rank FROM cand) WHERE rank <= 5"
         ),
         "q_ann_cosine_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe "

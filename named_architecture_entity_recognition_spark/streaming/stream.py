@@ -124,3 +124,27 @@ def run_windowed_counts_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_events_stream(
+    events_stream: DataFrame,
+    keys=("user_id", "event_type"),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first event per key wins, duplicate
+    arrivals within the watermark horizon are dropped, and the key's
+    dedup state is evicted once the watermark passes it —
+    ``dropDuplicatesWithinWatermark``, the streaming analog of
+    operators/dedup.py exact_dedup_groups. State size is bounded by
+    (distinct keys per watermark window), not by stream length — the
+    property that makes exact dedup feasible on an unbounded 10^12-event
+    stream.
+
+    Works on a batch DataFrame too (ordinary dropDuplicates semantics),
+    but batch dropDuplicates keeps an ARBITRARY row; the deterministic
+    batch equivalent for oracle checks is a row_number window ordered by
+    event time (see test_streaming_media stream/batch parity).
+    """
+    return events_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

@@ -204,3 +204,71 @@ def test_cosine_topk_lsh_recalls_planted_neighbor(spark, embeddings):
     ids = {r.neighbor_id for r in out}
     # the near-copy lands in the same hyperplane bucket as the query
     assert 0 in ids and 100 in ids
+
+
+def test_cosine_topk_ivf_recalls_planted_neighbor(spark, embeddings):
+    from named_architecture_entity_recognition_spark.operators.similarity import (
+        cosine_topk_ivf,
+    )
+
+    qs = embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk_ivf(
+        embeddings, qs, k=3, n_centroids=8, nprobe=3
+    ).orderBy("rank").collect()
+    # query vec 0 IS centroid 0, so its own list is always probed; the
+    # near-copy 100 assigns to the same nearest centroid
+    ids = [r.neighbor_id for r in out]
+    assert ids[0] == 0 and 100 in ids
+
+
+def test_ivf_assign_numpy_agrees_with_expr(spark, embeddings):
+    """The vectorized matmul assignment and the Catalyst fold assignment
+    pick the same centroid for every corpus row (ulp ties are the only
+    theoretical divergence; none on real data)."""
+    from named_architecture_entity_recognition_spark.operators.similarity import (
+        cosine_topk_ivf,
+        ivf_assign_numpy,
+    )
+
+    corpus = embeddings.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    rows = corpus.orderBy("vec_id").limit(8).collect()
+    cents = [(i, list(r["embedding"])) for i, r in enumerate(rows)]
+
+    via_numpy = {
+        r.vec_id: r.cent
+        for r in ivf_assign_numpy(corpus, cents).select("vec_id", "cent").collect()
+    }
+    # expression path: reuse the operator's internals by running the full
+    # query twice and comparing the survivor sets instead would be
+    # indirect — assert on assignments via a 1-NN cosine_topk against the
+    # centroid table (exact argmax reference)
+    cent_df = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents], "vec_id long, embedding array<double>"
+    )
+    qs = corpus.select(F.col("vec_id").alias("query_id"), "embedding")
+    ref = {
+        r.query_id: r.neighbor_id
+        for r in cosine_topk(cent_df, qs, k=1).collect()
+    }
+    # cosine_topk tie-breaks by LOWER id; ivf by HIGHER id — on this data
+    # there are no exact ties, so both must match outright
+    assert via_numpy == ref
+
+
+def test_cosine_topk_ivf_numpy_path_end_to_end(spark, embeddings):
+    from named_architecture_entity_recognition_spark.operators.similarity import (
+        cosine_topk_ivf,
+    )
+
+    qs = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = cosine_topk_ivf(embeddings, qs, k=3, n_centroids=8, nprobe=3).collect()
+    b = cosine_topk_ivf(
+        embeddings, qs, k=3, n_centroids=8, nprobe=3, assign="numpy"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -111,3 +111,51 @@ def test_detection_scan_prunes_nested_media_fields(spark, tmp_path):
     assert read_schema, plan
     assert "media_ref" not in read_schema[0], read_schema[0]
     assert "text" in read_schema[0] and "kind" in read_schema[0]
+
+
+def test_hash_split_is_shuffle_free_pure_jvm(spark):
+    """hash_split is a per-row expression: zero exchanges, no Python."""
+    from named_architecture_entity_recognition_spark.operators.corpus import (
+        hash_split,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = hash_split(docs.select("doc_id"))
+    simple = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "simple"
+    )
+    assert simple.count("Exchange") == 0, simple
+    plan = plan_of(q)
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Packing costs exactly ONE exchange (the window partitioning);
+    the token count itself is computed map-side before the shuffle."""
+    from named_architecture_entity_recognition_spark.operators.corpus import (
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = pack_sequences(docs, budget_tokens=256)
+    simple = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "simple"
+    )
+    assert simple.count("Exchange") == 1, simple
+
+
+def test_contamination_scan_prunes_columns(spark):
+    """The shingle inverted-index join reads only doc_id+text from both
+    sides (no lang/source/n_chars bytes)."""
+    from named_architecture_entity_recognition_spark.operators.corpus import (
+        contamination,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ev = docs.filter(F.pmod("doc_id", F.lit(10)) == 0)
+    tr = docs.filter(F.pmod("doc_id", F.lit(10)) != 0)
+    plan = plan_of(contamination(tr, ev))
+    for ln in plan.splitlines():
+        if "ReadSchema" in ln:
+            assert "n_chars" not in ln and "lang" not in ln, ln

@@ -172,3 +172,61 @@ def test_stateful_sessionization_stream_matches_batch(spark, tmp_path):
         "inner",
     )
     assert j.count() == got.count()
+
+
+def test_dedup_stream_drops_duplicates_and_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps the first arrival per key and
+    drops later duplicates; result matches the deterministic batch dedup
+    (earliest event per key) because the file source feeds rows in
+    event-time order."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from named_architecture_entity_recognition_spark.streaming.stream import (
+        dedup_events_stream,
+    )
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    # 3 keys x repeated arrivals, single input file so arrival order is
+    # the row order we write (sorted by ts)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), i % 3, "e", float(i))
+        for i in range(12)
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    src = str(tmp_path / "src")
+    events.orderBy("ts").coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    deduped = dedup_events_stream(stream, keys=("user_id", "event_type"))
+    out = str(tmp_path / "out")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.event_type): r.event_id
+        for r in spark.read.parquet(out).collect()
+    }
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    batch = {
+        (r.user_id, r.event_type): r.event_id
+        for r in events.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert got == batch
+    assert len(got) == 3  # one survivor per key
