@@ -203,6 +203,7 @@ EXPECTED_JSON_FORMAT = (
 #: (recognizer/TwoPartPrompt.java:140-141, parseAnswer)
 ERR_NO_JSON_ARRAY = "No valid JSON array found."
 ERR_INVALID_JSON = "invalid JSON entity array"
+ERR_UNKNOWN_TYPE = "unknown entity type in payload"
 
 
 def build_repair_prompt(answer_col, error_col) -> "F.Column":
@@ -268,10 +269,19 @@ def repair_parse(answers: DataFrame) -> DataFrame:
         F.when(
             F.length("win") > 0, F.from_json("win", ENTITY_JSON_SCHEMA)
         ).otherwise(F.lit(None).cast(ENTITY_JSON_SCHEMA)),
+    ).withColumn(
+        # NamedEntityType.valueOf throws on unknown types, failing the
+        # WHOLE answer into the repair path (NamedEntityParser.fromJson
+        # is all-or-nothing per answer) — not just the offending row
+        "bad_type",
+        F.exists(
+            "es",
+            lambda e: e["type"].isNull() | ~e["type"].isin(*VALID_TYPES),
+        ),
     )
 
     strict_ok = (
-        windowed.filter(F.col("es").isNotNull())
+        windowed.filter(F.col("es").isNotNull() & ~F.col("bad_type"))
         .select("doc_id", F.explode("es").alias("e"))
         .select(
             "doc_id",
@@ -289,10 +299,13 @@ def repair_parse(answers: DataFrame) -> DataFrame:
         )
     )
 
-    failed = windowed.filter(F.col("es").isNull()).select(
+    failed = windowed.filter(
+        F.col("es").isNull() | F.col("bad_type")
+    ).select(
         "doc_id",
         "answer",
-        F.when(F.length("win") > 0, F.lit(ERR_INVALID_JSON))
+        F.when(F.col("bad_type"), F.lit(ERR_UNKNOWN_TYPE))
+        .when(F.length("win") > 0, F.lit(ERR_INVALID_JSON))
         .otherwise(F.lit(ERR_NO_JSON_ARRAY))
         .alias("parse_error"),
     )

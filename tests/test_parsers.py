@@ -199,3 +199,34 @@ def test_repair_parse_invalid_json_window_error(spark):
     row = repair_parse(answers).collect()[0]
     assert row.stage == "quarantined"
     assert row.repair_prompt.endswith(ERR_INVALID_JSON)
+
+
+def test_repair_parse_unknown_type_fails_whole_answer_into_repair(spark):
+    """fromJson is all-or-nothing per answer (NamedEntityType.valueOf
+    throws): one BOGUS-typed entity sends the ENTIRE answer to repair,
+    not just the offending row."""
+    from named_architecture_entity_recognition_spark.parsers.answers import (
+        ERR_UNKNOWN_TYPE,
+        repair_parse,
+    )
+
+    answers = spark.createDataFrame(
+        [
+            (
+                "d1",
+                '[{"name":"Good","type":"COMPONENT"},'
+                '{"name":"Bad","type":"BOGUS"}]',
+            ),
+            ("d2", '[{"name":"NoType"}]'),
+        ],
+        "doc_id string, answer string",
+    )
+    rows = repair_parse(answers).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # neither doc produces a strict row — both went to repair (and then
+    # quarantine, since JSON isn't the structured-text grammar either)
+    assert all(r.stage == "quarantined" for r in by_doc["d1"])
+    assert all(r.stage == "quarantined" for r in by_doc["d2"])
+    assert all(ERR_UNKNOWN_TYPE in r.repair_prompt for r in by_doc["d1"])
