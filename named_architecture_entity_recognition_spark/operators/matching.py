@@ -112,6 +112,14 @@ _QUANTITY_OF_BEFORE = re.compile(
     r"type|types)\s+of\s+$"
 )
 
+# Architectural-layer qualifier right before a common-word name
+# ("back end logic", "back-end logic", "front-end UI"): the phrase
+# names the layer that IS the component, so a lowercase hit counts
+# even though bare common words need case-sensitive evidence
+# (benchmark evidence: teammates lines 7/185 are annotated Logic
+# occurrences with only lowercase "back[- ]end logic" in the text).
+_LAYER_QUALIFIER_BEFORE = re.compile(r"(?i)\b(back|front)[\s\-]?end\s+$")
+
 # Copular CLASS definition right after the name ("Logic is a Facade
 # class which ..."): the sentence defines a Java CLASS of that name —
 # a NamedEntityType.CLASS mention, not the COMPONENT (the reference
@@ -591,6 +599,12 @@ def _surface_matches(lv: LineView, entry: GazEntry, cfg: MatcherConfig):
                     out.append(
                         ("R_EXACT", _char_to_token_range(spans, m.start(), m.end()))
                     )
+        if not out:
+            m = entry.ci_regex.search(line)
+            if m and _LAYER_QUALIFIER_BEFORE.search(line[: m.start()]):
+                out.append(
+                    ("R_EXACT", _char_to_token_range(spans, m.start(), m.end()))
+                )
         return out
     # every token present is a necessary condition for the boundary
     # regex; cheap set membership skips the regex for near-miss lines

@@ -25,15 +25,17 @@ from conftest import BENCHMARK_PROJECTS, load_benchmark_project
 # bbb 0.963/1.0, jabref 0.947/1.0, mediastore 0.967/1.0,
 # teammates 0.942/0.961, teastore 1.0/1.0
 # BASELINE.json metric: P/R >= 0.95 on teastore, mediastore, bigbluebutton.
-#: all five reference projects at the 0.95/0.95 bar since r2
+#: all five reference projects at the (P>=0.95, R=1.0) bar since r2
 #: (measured r2: bbb 0.963/1.0, jabref 1.0/1.0, mediastore 0.967/1.0,
-#: teammates 0.961/0.961, teastore 1.0/1.0)
+#: teammates 0.962/1.0, teastore 1.0/1.0 — recall is exactly 1.0 on
+#: every project, so the floor pins it; the 5 remaining FPs are
+#: annotation judgment calls documented in BASELINE.md)
 THRESHOLDS = {
-    "bigbluebutton": (0.95, 0.95),
-    "jabref": (0.95, 0.95),
-    "mediastore": (0.95, 0.95),
-    "teammates": (0.95, 0.95),
-    "teastore": (0.95, 0.95),
+    "bigbluebutton": (0.95, 1.0),
+    "jabref": (0.95, 1.0),
+    "mediastore": (0.95, 1.0),
+    "teammates": (0.95, 1.0),
+    "teastore": (0.95, 1.0),
 }
 
 
