@@ -118,3 +118,39 @@ def test_contamination_asymmetric_full_containment(spark):
     r = out[0]
     assert (r.eval_id, r.train_id) == (100, 1)
     assert r.containment == pytest.approx(1.0)
+
+
+# ------------------------------------------------------- property tests
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    sizes=st.lists(st.integers(1, 40), min_size=1, max_size=40),
+    parts=st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=40),
+    budget=st.integers(5, 100),
+)
+def test_pack_sequences_property_matches_python(spark, sizes, parts, budget):
+    """For arbitrary doc sizes/partitions/budgets, pack_no equals the
+    Python floor(exclusive-cumsum / budget) within each partition key."""
+    n = min(len(sizes), len(parts))
+    rows = [(i, parts[i], "t " * sizes[i]) for i in range(n)]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    )
+    got = {r.doc_id: r.pack_no for r in pack_sequences(docs, budget).collect()}
+    cums: dict = {}
+    for i in range(n):
+        cum = cums.get(parts[i], 0)
+        assert got[i] == cum // budget, (i, got[i], cum, budget)
+        cums[parts[i]] = cum + sizes[i]
+
+
+@settings(max_examples=10, deadline=None)
+@given(n=st.integers(1, 300), salt=st.text("abcdef", min_size=1, max_size=8))
+def test_hash_split_partitions_every_doc_exactly_once(spark, n, salt):
+    docs = spark.range(n).withColumnRenamed("id", "doc_id")
+    out = hash_split(docs, salt=salt).collect()
+    assert len(out) == n
+    assert all(r.split in ("train", "val", "test") for r in out)

@@ -159,3 +159,40 @@ def test_contamination_scan_prunes_columns(spark):
     for ln in plan.splitlines():
         if "ReadSchema" in ln:
             assert "n_chars" not in ln and "lang" not in ln, ln
+
+
+def test_ivf_probe_join_is_broadcast_no_row_python(spark):
+    """IVF: the probed-list join must broadcast the tiny query side;
+    the expression assignment path has no Python nodes at all."""
+    from named_architecture_entity_recognition_spark.operators.similarity import (
+        cosine_topk_ivf,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = plan_of(cosine_topk_ivf(e, qs, k=3, n_centroids=4, nprobe=2))
+    assert "BroadcastHashJoin" in plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_repair_parse_python_confined_to_failed_residue(spark):
+    """repair_parse: the only Python boundary is the Arrow-batched
+    repair pass, and it sits behind the failed-rows filter — strict
+    parsing is pure Catalyst."""
+    from named_architecture_entity_recognition_spark.parsers.answers import (
+        repair_parse,
+    )
+
+    answers = spark.createDataFrame(
+        [("d", "x")], "doc_id string, answer string"
+    )
+    df = repair_parse(answers)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    simple = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert simple.count("MapInPandas") == 1, simple
