@@ -405,6 +405,19 @@ def _q_contamination(spark, sf):
     return contamination(tr, ev, shingle_n=3, threshold=0.05)
 
 
+def _q_prepare_corpus(spark, sf):
+    """The composed data-prep funnel (lang filter -> quality filter ->
+    exact dedup -> LSH+CC near-dup clusters -> hash split): one status
+    row per input doc with a drop reason or a kept split. All five
+    stage outcomes are exercised on this corpus and the whole funnel is
+    value-oracled end-to-end."""
+    from named_architecture_entity_recognition_spark.operators.corpus import (
+        prepare_corpus,
+    )
+
+    return prepare_corpus(_read(spark, sf, "documents"))
+
+
 def _q_ngram_jaccard(spark, sf):
     from named_architecture_entity_recognition_spark.operators.dedup import shingles
 
@@ -988,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hash_split": _q_hash_split,
         "q_pack_sequences": _q_pack_sequences,
         "q_contamination": _q_contamination,
+        "q_prepare_corpus": _q_prepare_corpus,
         "q_ngram_jaccard": _q_ngram_jaccard,
         "q_token_count": _q_token_count,
         "q_quality": _q_quality,
@@ -1248,6 +1262,64 @@ def oracle_sql() -> dict[str, str]:
             "SELECT eval_id, train_id, round(n_shared / n, 6) AS containment "
             "FROM shared JOIN evs USING (eval_id) "
             "WHERE round(n_shared / n, 6) >= 0.05"
+        ),
+        "q_prepare_corpus": (
+            # the full funnel assembled from the proven per-stage
+            # oracles: q_lang_id CASE + q_quality expr -> q_fingerprint
+            # window -> q_dup_clusters LSH+recursive-CTE (FROM the
+            # filtered set) -> q_hash_split boundaries
+            f"WITH t AS (SELECT doc_id, text, list_filter({words}, w -> w != '') "
+            "AS ws FROM documents), "
+            "m AS (SELECT doc_id, text, len(ws) AS n, "
+            f"len(list_filter(ws, w -> w IN ({stopwords}))) AS sw, "
+            "list_sum(list_transform(ws, w -> length(w))) AS chars, "
+            "len(list_filter(ws, w -> w IN ('the','and','of','to','is'))) AS en, "
+            "len(list_filter(ws, w -> w IN ('der','die','das','und','ist'))) AS de, "
+            "len(list_filter(ws, w -> w IN ('le','la','les','et','est'))) AS fr, "
+            "len(list_filter(ws, w -> w IN ('el','la','los','y','es'))) AS es "
+            "FROM t), "
+            "pre AS (SELECT doc_id, text, "
+            "CASE WHEN NOT (CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und' "
+            "WHEN en >= de AND en >= fr AND en >= es THEN 'en' "
+            "WHEN de >= fr AND de >= es THEN 'de' "
+            "WHEN fr >= es THEN 'fr' ELSE 'es' END) = 'en' THEN 'lang' "
+            "WHEN round(((n BETWEEN 10 AND 10000)::INT + "
+            "(sw * 1.0 / greatest(n, 1) BETWEEN 0.05 AND 0.6)::INT + "
+            "(chars * 1.0 / greatest(n, 1) BETWEEN 2.0 AND 12.0)::INT) / 3.0, 6) "
+            "< 0.9 THEN 'quality' END AS pre_reason FROM m), "
+            "s1 AS (SELECT doc_id, text FROM pre WHERE pre_reason IS NULL), "
+            "fpr AS (SELECT doc_id, text, row_number() OVER (PARTITION BY "
+            "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) "
+            "ORDER BY doc_id) AS rn FROM s1), "
+            "s2 AS (SELECT doc_id, text FROM fpr WHERE rn = 1), "
+            "sig AS (SELECT doc_id, list_transform(generate_series(0, 3), "
+            f"seed -> list_min(list_transform({sh}, s -> md5(seed::VARCHAR || s)))) AS s "
+            "FROM s2), banded AS ("
+            "SELECT doc_id, b AS band_idx, array_to_string(s[b*2+1:b*2+2], '|') AS band_key "
+            "FROM sig, unnest(generate_series(0, 1)) AS tt(b)), "
+            "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM banded a JOIN banded b ON a.band_idx = b.band_idx "
+            "AND a.band_key = b.band_key AND a.doc_id < b.doc_id), "
+            "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+            "UNION SELECT doc_b, doc_a FROM pairs), "
+            "nodes AS (SELECT DISTINCT src AS node FROM edges), "
+            "reach AS (WITH RECURSIVE r(node, mlbl) AS ("
+            "SELECT node, node FROM nodes UNION "
+            "SELECT e.src, r.mlbl FROM edges e JOIN r ON e.dst = r.node) "
+            "SELECT node, min(mlbl) AS comp FROM r GROUP BY node), "
+            "cl AS (SELECT s2.doc_id, coalesce(rc.comp, s2.doc_id) AS cluster_id "
+            "FROM s2 LEFT JOIN reach rc ON rc.node = s2.doc_id), "
+            "splits AS (SELECT doc_id, "
+            "('0x' || substr(md5('split-v1' || doc_id::VARCHAR), 1, 8))::UBIGINT"
+            "::DOUBLE / 4294967296.0 AS frac FROM cl WHERE cluster_id = doc_id) "
+            "SELECT doc_id, 'kept' AS status, CASE "
+            + " ".join(f"WHEN frac < {b} THEN '{n}'" for n, b in _hs_bounds)
+            + " ELSE 'test' END AS split FROM splits "
+            "UNION ALL SELECT doc_id, pre_reason, NULL FROM pre "
+            "WHERE pre_reason IS NOT NULL "
+            "UNION ALL SELECT doc_id, 'exact_dup', NULL FROM fpr WHERE rn > 1 "
+            "UNION ALL SELECT doc_id, 'near_dup', NULL FROM cl "
+            "WHERE cluster_id != doc_id"
         ),
         "q_ngram_jaccard": (
             f"WITH sh AS (SELECT doc_id, list_distinct({sh}) AS s FROM documents) "

@@ -222,3 +222,81 @@ def contamination(
         F.round(F.col("n_shared") / F.col("n_eval_sh"), 6).alias("containment"),
     )
     return scored.filter(F.col("containment") >= threshold)
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_allow: tuple = ("en",),
+    min_quality: float = 0.9,
+    salt: str = "split-v1",
+    weights: dict | None = None,
+    n_hashes: int = 4,
+    bands: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The composed data-prep pipeline a training corpus actually ships
+    through: language filter -> quality filter -> exact dedup -> near-dup
+    cluster dedup -> deterministic split assignment.
+
+    Output: (doc_id, status, split) — status 'kept' with a split for
+    survivors; drop reason ('lang' | 'quality' | 'exact_dup' |
+    'near_dup') with NULL split otherwise. Every input doc appears
+    exactly once; precedence = cheapest-filter-first, so expensive
+    stages (LSH join, CC) only see rows the per-row filters passed —
+    the standard funnel shape at 100 TB.
+
+    Stage shapes: lang/quality are codegen'd per-row expressions; exact
+    dedup is one window over the content fingerprint (shuffle on
+    fingerprint hash); near-dup is dup_clusters (banded LSH equi-join +
+    CC) confined to exact-dedup survivors; the split is a per-row hash.
+    At production scale, materialize the funnel's intermediate
+    (post-filter) table once instead of letting each union branch
+    recompute the scan — here branches share one corpus scan per stage
+    via the same plan subtree, which Spark dedups under AQE reuse.
+    """
+    from named_architecture_entity_recognition_spark.operators.textstats import (
+        fingerprint,
+        lang_id,
+        quality_score,
+    )
+
+    c = F.col(text_col)
+    base = docs.select("doc_id", text_col)
+    flagged = base.withColumn(
+        "pre_reason",
+        F.when(~lang_id(c).isin(*lang_allow), F.lit("lang")).when(
+            quality_score(c) < F.lit(min_quality), F.lit("quality")
+        ),
+    )
+    pre_drops = flagged.filter(F.col("pre_reason").isNotNull()).select(
+        "doc_id", F.col("pre_reason").alias("status")
+    )
+    surv1 = flagged.filter(F.col("pre_reason").isNull()).drop("pre_reason")
+
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    ranked = surv1.withColumn("fp", fingerprint(c)).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    exact_drops = ranked.filter(F.col("rn") > 1).select(
+        "doc_id", F.lit("exact_dup").alias("status")
+    )
+    surv2 = ranked.filter(F.col("rn") == 1).select("doc_id", text_col)
+
+    clusters = dup_clusters(
+        surv2, text_col=text_col, n_hashes=n_hashes, bands=bands,
+        shingle_n=shingle_n,
+    )
+    near_drops = clusters.filter(~F.col("keep")).select(
+        "doc_id", F.lit("near_dup").alias("status")
+    )
+    kept = hash_split(
+        clusters.filter(F.col("keep")).select("doc_id"),
+        weights=weights,
+        salt=salt,
+    ).select("doc_id", F.lit("kept").alias("status"), "split")
+
+    dropped = pre_drops.unionByName(exact_drops).unionByName(near_drops)
+    return kept.unionByName(
+        dropped.withColumn("split", F.lit(None).cast("string"))
+    )

@@ -154,3 +154,36 @@ def test_hash_split_partitions_every_doc_exactly_once(spark, n, salt):
     out = hash_split(docs, salt=salt).collect()
     assert len(out) == n
     assert all(r.split in ("train", "val", "test") for r in out)
+
+
+def test_prepare_corpus_funnel_stages_and_precedence(spark):
+    """Every input doc gets exactly one status; stage precedence is
+    lang > quality > exact_dup > near_dup > kept."""
+    from named_architecture_entity_recognition_spark.operators.corpus import (
+        prepare_corpus,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then it runs "
+        "far away to the hills where the other animals are waiting"
+    )
+    rows = [
+        (1, good),                                   # kept (cluster rep)
+        (2, good + " "),                             # exact dup of 1 (whitespace-normalized)
+        (3, good + " with one tiny extra suffix"),   # near dup of 1
+        (4, "der hund und die katze und das haus und der baum und die "
+            "strasse und das auto und der garten ist hier"),  # lang
+        (5, "the tiny doc"),                         # quality (en, too short)
+        (6, "a completely different english text about the weather and "
+            "the seasons that is long enough to pass all the quality "
+            "bands easily with many common words in it"),  # kept
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in prepare_corpus(docs, n_hashes=4, bands=2).collect()}
+    assert len(out) == 6  # one row per input doc
+    assert out[1].status == "kept" and out[1].split in ("train", "val", "test")
+    assert out[2].status == "exact_dup" and out[2].split is None
+    assert out[3].status == "near_dup"
+    assert out[4].status == "lang"
+    assert out[5].status == "quality"
+    assert out[6].status == "kept"
