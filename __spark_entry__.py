@@ -838,6 +838,45 @@ def _q_media_features(spark, sf):
     return feats.select("doc_id", "media_ref", "width", "height")
 
 
+def _q_media_decode(spark, sf):
+    """REAL image decode (pure-numpy P6 PPM parser, no codec libs):
+    deterministic solid-color images generated per doc_id, decoded
+    distributed via Arrow-batched mapInPandas. The oracle verifies the
+    decoder inverts the generator: expected width/height/channel means
+    are computed analytically from doc_id. Every 11th image is
+    malformed, exercising the quarantine path."""
+    from named_architecture_entity_recognition_spark.operators.media import (
+        extract_ppm_features,
+        synth_ppm,
+    )
+
+    ids = [
+        r.doc_id
+        for r in _read(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+        .collect()
+    ]
+    rows = []
+    for i in sorted(ids):
+        w, h = 4 + i % 13, 4 + i % 7
+        rgb = (i % 97, (i * 7) % 97, (i * 13) % 97)
+        buf = (
+            b"P6 broken header"
+            if i % 11 == 0
+            else synth_ppm(w, h, rgb)
+        )
+        rows.append((f"doc{i}", f"media://ppm/{i}", bytearray(buf)))
+    media = spark.createDataFrame(
+        rows, "doc_id string, media_ref string, media_bytes binary"
+    ).repartition(8)
+    out = extract_ppm_features(media)
+    return out.select(
+        "doc_id", "media_ref", "width", "height", "mean_r", "mean_g",
+        "mean_b", "error",
+    )
+
+
 def _q_gazetteer_link_j4(spark, sf):
     """J4 gazetteer-assisted linking as a broadcast hash join: candidate
     first-words vs a 20-term dictionary of the corpus's most frequent
@@ -1026,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_structured_parse_p2": _q_structured_parse_p2,
         "q_repair_parse": _q_repair_parse,
         "q_media_features": _q_media_features,
+        "q_media_decode": _q_media_decode,
         "q_gazetteer_link_j4": _q_gazetteer_link_j4,
         "q_embed_neardup": _q_embed_neardup,
         "q_salted_join_skew": _q_salted_join_skew,
@@ -1563,6 +1603,19 @@ def oracle_sql() -> dict[str, str]:
             "json_extract_string(payload, '$[0].type') AS entity_type FROM p "
             "WHERE json_extract_string(payload, '$[0].type') IN "
             "('COMPONENT','INTERFACE','CLASS')"
+        ),
+        "q_media_decode": (
+            # inverse-function oracle: the PPM decoder must recover the
+            # generator's analytic width/height/solid-color means
+            "WITH p AS (SELECT doc_id AS i FROM documents WHERE doc_id < 200) "
+            "SELECT 'doc' || i AS doc_id, 'media://ppm/' || i AS media_ref, "
+            "CASE WHEN i % 11 = 0 THEN NULL ELSE (4 + i % 13)::INT END AS width, "
+            "CASE WHEN i % 11 = 0 THEN NULL ELSE (4 + i % 7)::INT END AS height, "
+            "CASE WHEN i % 11 = 0 THEN NULL ELSE (i % 97)::DOUBLE END AS mean_r, "
+            "CASE WHEN i % 11 = 0 THEN NULL ELSE ((i * 7) % 97)::DOUBLE END AS mean_g, "
+            "CASE WHEN i % 11 = 0 THEN NULL ELSE ((i * 13) % 97)::DOUBLE END AS mean_b, "
+            "CASE WHEN i % 11 = 0 THEN 'bad header token: b''broken''' END AS error "
+            "FROM p"
         ),
         "q_gazetteer_link_j4": (
             "WITH cand AS (SELECT doc_id, "

@@ -2,11 +2,15 @@
 with typed metadata, decoded/feature-extracted via Arrow-batched
 mapInPandas.
 
-The container has no image/audio libraries, so the decode step is a
-clearly-marked stub: ``decode='fake'`` produces deterministic synthetic
-features (so the Spark-side plumbing — schema, batching, partitioning —
-is fully real and testable), while ``decode='real'`` raises
-NotImplementedError at the exact point a Pillow/ffmpeg call would go.
+Decode paths:
+- ``decode='fake'``: deterministic synthetic features from the
+  media_ref (plumbing-only; no bytes needed).
+- REAL decode: ``extract_ppm_features`` parses actual P6 PPM image
+  bytes with a pure-numpy decoder (``decode_ppm``) — header, comments,
+  maxval, raw RGB plane — no codec library required. Compressed formats
+  (JPEG/PNG/video) remain the PIL/ffmpeg integration point
+  (``decode='real'`` raises where that call goes; those libs are not in
+  this container).
 """
 
 from __future__ import annotations
@@ -20,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     FloatType,
     IntegerType,
     StringType,
@@ -99,3 +104,106 @@ def extract_media_features(
             yield pd.DataFrame(out)
 
     return spans.mapInPandas(process, schema=MEDIA_FEATURES)
+
+
+def decode_ppm(buf: bytes):
+    """Pure-numpy P6 PPM decoder: returns (width, height, HxWx3 uint8
+    array). Handles '#' comments and arbitrary whitespace in the header
+    and 1- or 2-byte samples by maxval (2-byte scaled down to 8-bit).
+    Raises ValueError on malformed input — callers quarantine, the job
+    never dies on one bad image."""
+    if not buf or buf[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos = 2
+    fields = []
+    while len(fields) < 3:
+        if pos >= len(buf):
+            raise ValueError("truncated PPM header")
+        c = buf[pos : pos + 1]
+        if c == b"#":
+            nl = buf.find(b"\n", pos)
+            if nl == -1:
+                raise ValueError("unterminated comment")
+            pos = nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(buf) and not buf[end : end + 1].isspace():
+                end += 1
+            tok = buf[pos:end]
+            if not tok.isdigit():
+                raise ValueError(f"bad header token: {tok!r}")
+            fields.append(int(tok))
+            pos = end
+    # exactly one whitespace byte separates maxval from the raster
+    pos += 1
+    width, height, maxval = fields
+    if not (0 < maxval < 65536):
+        raise ValueError(f"bad maxval {maxval}")
+    bps = 1 if maxval < 256 else 2
+    need = width * height * 3 * bps
+    raster = buf[pos : pos + need]
+    if len(raster) != need:
+        raise ValueError(
+            f"raster size {len(raster)} != expected {need} for {width}x{height}"
+        )
+    dt = np.uint8 if bps == 1 else np.dtype(">u2")
+    px = np.frombuffer(raster, dtype=dt).reshape(height, width, 3)
+    if bps == 2:
+        px = (px.astype(np.uint32) * 255 // maxval).astype(np.uint8)
+    return width, height, px
+
+
+PPM_FEATURES = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("media_ref", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("mean_r", DoubleType(), True),
+        StructField("mean_g", DoubleType(), True),
+        StructField("mean_b", DoubleType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def extract_ppm_features(media: DataFrame, bytes_col: str = "media_bytes") -> DataFrame:
+    """REAL image decode over a binary column: Arrow-batched mapInPandas
+    runs decode_ppm per image and emits dimensions + per-channel means
+    (doubles are exact for uint8 means of integral sums). Malformed
+    images become error rows (quarantine), never task failures.
+
+    Scale: pure map over (doc_id, media_ref, bytes) — partition-
+    preserving, no shuffle; bytes stay inside the Arrow batch (never
+    collected). At 100 TB the binary column lives in its own parquet
+    column chunk, so feature extraction reads ONLY that column."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PPM_FEATURES.fields]
+        for pdf in batches:
+            rows = []
+            for doc_id, ref, buf in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf[bytes_col]
+            ):
+                try:
+                    w, h, px = decode_ppm(bytes(buf) if buf is not None else b"")
+                    m = px.reshape(-1, 3).mean(axis=0)
+                    rows.append(
+                        (doc_id, ref, w, h, float(m[0]), float(m[1]), float(m[2]), None)
+                    )
+                except ValueError as e:
+                    rows.append((doc_id, ref, None, None, None, None, None, str(e)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("doc_id", "media_ref", bytes_col).mapInPandas(
+        process, schema=PPM_FEATURES
+    )
+
+
+def synth_ppm(width: int, height: int, rgb: tuple) -> bytes:
+    """Deterministic solid-color P6 image (test/oracle generator —
+    decode_ppm must invert it exactly)."""
+    header = f"P6\n{width} {height}\n255\n".encode()
+    return header + bytes(rgb) * (width * height)

@@ -230,3 +230,58 @@ def test_dedup_stream_drops_duplicates_and_bounds_state(spark, tmp_path):
     }
     assert got == batch
     assert len(got) == 3  # one survivor per key
+
+
+def test_decode_ppm_gradient_comments_and_16bit():
+    """The pure-numpy PPM parser handles comments, whitespace runs,
+    non-solid rasters, and 2-byte samples."""
+    import numpy as np
+    import pytest
+
+    from named_architecture_entity_recognition_spark.operators.media import (
+        decode_ppm,
+    )
+
+    # gradient 4x2 with a comment and extra whitespace in the header
+    px = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    buf = b"P6\n# a comment\n 4\t2\n255\n" + px.tobytes()
+    w, h, got = decode_ppm(buf)
+    assert (w, h) == (4, 2)
+    assert (got == px).all()
+
+    # 16-bit samples scale down to 8-bit by maxval
+    px16 = np.array([[[65535, 0, 32768]]], dtype=">u2")
+    buf16 = b"P6 1 1 65535\n" + px16.tobytes()
+    w, h, got16 = decode_ppm(buf16)
+    assert (w, h) == (1, 1)
+    assert got16[0, 0, 0] == 255 and got16[0, 0, 1] == 0
+    assert got16[0, 0, 2] == 32768 * 255 // 65535
+
+    for bad in (b"", b"P5 1 1 255\x00\x00\x00", b"P6 2 2 255\nxx",
+                b"P6 1 1 999999\n" + b"\x00" * 6):
+        with pytest.raises(ValueError):
+            decode_ppm(bad)
+
+
+def test_extract_ppm_features_decodes_and_quarantines(spark):
+    from named_architecture_entity_recognition_spark.operators.media import (
+        extract_ppm_features,
+        synth_ppm,
+    )
+
+    media = spark.createDataFrame(
+        [
+            ("d1", "m1", bytearray(synth_ppm(3, 2, (10, 20, 30)))),
+            ("d2", "m2", bytearray(b"not an image")),
+            ("d3", "m3", None),
+        ],
+        "doc_id string, media_ref string, media_bytes binary",
+    )
+    rows = {r.doc_id: r for r in extract_ppm_features(media).collect()}
+    assert (rows["d1"].width, rows["d1"].height) == (3, 2)
+    assert (rows["d1"].mean_r, rows["d1"].mean_g, rows["d1"].mean_b) == (
+        10.0, 20.0, 30.0,
+    )
+    assert rows["d1"].error is None
+    assert rows["d2"].error is not None and rows["d2"].width is None
+    assert rows["d3"].error is not None
