@@ -285,3 +285,31 @@ def test_extract_ppm_features_decodes_and_quarantines(spark):
     assert rows["d1"].error is None
     assert rows["d2"].error is not None and rows["d2"].width is None
     assert rows["d3"].error is not None
+
+
+def test_resize_nn_and_thumbnails(spark):
+    import numpy as np
+
+    from named_architecture_entity_recognition_spark.operators.media import (
+        extract_ppm_thumbnails,
+        resize_nn,
+        synth_ppm,
+    )
+
+    # 4x4 checkerboard downsampled to 2x2 picks the floor-grid corners
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[2:, 2:] = 255
+    small = resize_nn(px, 2, 2)
+    assert small.shape == (2, 2, 3)
+    assert small[0, 0, 0] == 0 and small[1, 1, 0] == 255
+    # upscale is deterministic too
+    assert resize_nn(small, 4, 4).shape == (4, 4, 3)
+
+    media = spark.createDataFrame(
+        [("d1", "m1", bytearray(synth_ppm(4, 4, (255, 0, 128))))],
+        "doc_id string, media_ref string, media_bytes binary",
+    )
+    row = extract_ppm_thumbnails(media, grid=2).collect()[0]
+    assert len(row.thumb) == 12
+    assert row.thumb[0] == 1.0 and row.thumb[1] == 0.0
+    assert row.thumb[2] == 128 / 255
