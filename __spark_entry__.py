@@ -648,13 +648,21 @@ def _q_ann_ivf_topk(spark, sf):
 
 
 def _q_simhash(spark, sf):
-    from named_architecture_entity_recognition_spark.operators.dedup import simhash64
+    """64-bit SimHash signatures via the vectorized numpy kernel
+    (bit-identical to the Catalyst simhash64 expression — SimHash is
+    pure integer math — and ~200x faster; identity asserted in
+    tests/test_dedup_similarity.py). Same DuckDB oracle as before."""
+    from named_architecture_entity_recognition_spark.operators.dedup import (
+        simhash_signatures,
+    )
     from named_architecture_entity_recognition_spark.session import (
         ensure_parallelism,
     )
 
     d = ensure_parallelism(_read(spark, sf, "documents"))
-    return d.select("doc_id", simhash64(F.col("text"), 2).alias("simhash_bits"))
+    return simhash_signatures(d, shingle_n=2).withColumnRenamed(
+        "sig", "simhash_bits"
+    )
 
 
 def _q_simhash_pairs(spark, sf):

@@ -272,3 +272,61 @@ def test_cosine_topk_ivf_numpy_path_end_to_end(spark, embeddings):
         embeddings, qs, k=3, n_centroids=8, nprobe=3, assign="numpy"
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_simhash_numpy_kernel_identical_to_expression(spark):
+    """SimHash is integer arithmetic, so the vectorized numpy kernel
+    must be BIT-identical to the Catalyst expression — including the
+    empty-shingle all-ones edge."""
+    from named_architecture_entity_recognition_spark.operators.dedup import (
+        simhash_signatures,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").limit(80)
+    edge = spark.createDataFrame(
+        [(9001, "oneword"), (9002, ""), (9003, "  two words  ")],
+        "doc_id bigint, text string",
+    )
+    both = docs.unionByName(edge)
+    a = {r.doc_id: r.sig for r in simhash_signatures(both, impl="expr").collect()}
+    b = {r.doc_id: r.sig for r in simhash_signatures(both, impl="numpy").collect()}
+    assert a == b
+    assert a[9001] == "1" * 64 and a[9002] == "1" * 64  # <2 words
+
+
+def test_shingle_consumers_survive_short_docs(spark):
+    """Docs with fewer words than the shingle size are no-ops, not task
+    failures (sequence(1,0) counts DOWN in Spark — regression guard)."""
+    from named_architecture_entity_recognition_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, ""), (3, "a b"), (4, "x y z long enough here ok")],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(docs, n_hashes=4, bands=2, shingle_n=3)
+    assert pairs.count() == 0  # nothing shares a 3-shingle; no crash
+    cand = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    # two empty shingle sets define Jaccard 0.0 (was an ANSI
+    # DIVIDE_BY_ZERO job failure before the guard)
+    rows = ngram_jaccard_pairs(docs, cand, shingle_n=3, threshold=0.0).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in rows] == [(1, 2, 0.0)]
+    assert ngram_jaccard_pairs(docs, cand, shingle_n=3, threshold=0.5).count() == 0
+
+
+def test_simhash_pairs_excludes_degenerate_empty_docs(spark):
+    from named_architecture_entity_recognition_spark.operators.dedup import (
+        simhash_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, "one"), (4, "a b c d e"), (5, "a b c d e")],
+        "doc_id long, text string",
+    )
+    out = simhash_pairs(docs, max_hamming=3, shingle_n=2).collect()
+    # the real dup pair survives; empty/1-word docs never pair
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in out] == [(4, 5, 0)]
