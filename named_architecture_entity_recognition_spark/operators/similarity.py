@@ -31,7 +31,13 @@ def _norm(a) -> Column:
 
 
 def cosine(a, b) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity; a zero-norm vector has no direction, so its
+    similarity to anything is defined as 0.0 — the plain ratio is a
+    job-killing ANSI DIVIDE_BY_ZERO on the first degenerate embedding
+    in 10^12 rows. try_divide is bit-identical to / for nonzero norms."""
+    return F.coalesce(
+        F.try_divide(_dot(a, b), _norm(a) * _norm(b)), F.lit(0.0)
+    )
 
 
 def _pynorm(vec) -> float:
@@ -217,8 +223,13 @@ def cosine_topk_ivf(
         return F.array(
             *[
                 F.struct(
-                    (_dot(v, cent_lit(vec)) / (v_norm * F.lit(cent_norms[cid])))
-                    .alias("s"),
+                    F.coalesce(
+                        F.try_divide(
+                            _dot(v, cent_lit(vec)),
+                            v_norm * F.lit(cent_norms[cid]),
+                        ),
+                        F.lit(0.0),
+                    ).alias("s"),
                     F.lit(cid).alias("c"),
                 )
                 for cid, vec in centroids
@@ -292,7 +303,9 @@ def ivf_assign_numpy(
     cents_desc = sorted(centroids, key=lambda t: -t[0])
     cids = np.array([c for c, _ in cents_desc], dtype="int64")
     cmat = np.array([v for _, v in cents_desc], dtype="float64")
-    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    cn = np.linalg.norm(cmat, axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cmat = np.where(cn > 0, cmat / cn, 0.0)
     out_schema = ", ".join(
         f"{name} {dt}" for name, dt in corpus.dtypes
     ) + ", cent int"
@@ -302,7 +315,12 @@ def ivf_assign_numpy(
             if len(pdf) == 0:
                 continue
             v = np.stack(pdf[vec_col].map(np.asarray).values).astype("float64")
-            sims = (v / np.linalg.norm(v, axis=1, keepdims=True)) @ cmat.T
+            vn = np.linalg.norm(v, axis=1, keepdims=True)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                # zero-norm rows get sim 0 to every centroid, matching
+                # the expression path's try_divide->0.0 (tie-break then
+                # picks the highest cid on both paths)
+                sims = np.where(vn > 0, v / vn, 0.0) @ cmat.T
             pdf = pdf.copy()
             pdf["cent"] = cids[np.argmax(sims, axis=1)].astype("int32")
             yield pdf

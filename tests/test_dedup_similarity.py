@@ -330,3 +330,28 @@ def test_simhash_pairs_excludes_degenerate_empty_docs(spark):
     out = simhash_pairs(docs, max_hamming=3, shingle_n=2).collect()
     # the real dup pair survives; empty/1-word docs never pair
     assert [(r.doc_a, r.doc_b, r.hamming) for r in out] == [(4, 5, 0)]
+
+
+def test_ann_operators_survive_zero_vectors(spark):
+    """A zero-norm embedding anywhere (corpus, query, centroid) defines
+    cosine 0.0 instead of killing the job with an ANSI DIVIDE_BY_ZERO —
+    guaranteed to appear somewhere in 10^12 rows."""
+    from named_architecture_entity_recognition_spark.operators.similarity import (
+        cosine_topk_ivf,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [0.0, 0.0]), (3, [3.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    qz = emb.filter("vec_id = 2").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb, qz, k=3).orderBy("rank").collect()
+    assert all(r.score == 0.0 for r in out)  # no direction -> sim 0 to all
+    # both IVF kernels agree on the degenerate rows too
+    a = cosine_topk_ivf(emb, qz, k=3, n_centroids=2, nprobe=2).collect()
+    b = cosine_topk_ivf(
+        emb, qz, k=3, n_centroids=2, nprobe=2, assign="numpy"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
