@@ -108,6 +108,8 @@ def hash_split(
     """
     if weights is None:
         weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    if not weights or any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError(f"weights must be non-empty and non-negative: {weights}")
     total = sum(weights.values())
     frac = (
         F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8), 16, 10)
@@ -155,6 +157,8 @@ def pack_sequences(
 
     Output: (doc_id, part, n_tokens, pack_no, pack_id).
     """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive: {budget_tokens}")
     w = (
         Window.partitionBy("part")
         .orderBy("doc_id")

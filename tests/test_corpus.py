@@ -187,3 +187,16 @@ def test_prepare_corpus_funnel_stages_and_precedence(spark):
     assert out[4].status == "lang"
     assert out[5].status == "quality"
     assert out[6].status == "kept"
+
+
+def test_argument_guards(spark):
+    import pytest as _pytest
+
+    docs = spark.range(3).withColumnRenamed("id", "doc_id")
+    with _pytest.raises(ValueError, match="weights"):
+        hash_split(docs, weights={})
+    with _pytest.raises(ValueError, match="weights"):
+        hash_split(docs, weights={"a": -1.0, "b": 2.0})
+    d = docs.withColumn("source", F.lit("s")).withColumn("text", F.lit("x y"))
+    with _pytest.raises(ValueError, match="budget_tokens"):
+        pack_sequences(d, 0)
