@@ -333,8 +333,16 @@ class GazIndex:
 
 
 def compile_gazetteer(names, cfg: MatcherConfig | None = None):
-    """Compile dictionary names into broadcastable match artifacts."""
+    """Compile dictionary names into broadcastable match artifacts.
+
+    Names with no word characters (empty, whitespace, punctuation-only)
+    are skipped: they can never match a token window, and a dirty
+    dictionary row must not kill a 10^12-doc job (it previously
+    IndexError'd on the empty token tuple)."""
     cfg = cfg or MatcherConfig()
+    names = list(
+        dict.fromkeys(n for n in names if n and _WORD_RE.search(n))
+    )
     head_counts: dict = {}
     camel_head_counts: dict = {}
     toks_by_name = {}

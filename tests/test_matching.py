@@ -173,3 +173,18 @@ def test_null_and_empty_lines_are_dropped_not_fatal():
     )
     assert (1, "AlphaHub", "DIRECT", "R_EXACT") in out
     assert all(m[0] != 4 for m in out)  # focus cleared by the gap
+
+
+def test_compile_gazetteer_skips_unmatchable_names():
+    """Dirty dictionary rows (empty/whitespace/punct-only names) are
+    skipped at compile instead of crashing the job; valid names in the
+    same list still match."""
+    from named_architecture_entity_recognition_spark.operators.matching import (
+        MatcherConfig,
+        compile_gazetteer,
+        detect_mentions,
+    )
+
+    gaz = compile_gazetteer(["", "   ", "***", "WebUI"], MatcherConfig())
+    out = detect_mentions(["The WebUI handles requests."], gaz)
+    assert {m[0] for m in out} == {"WebUI"} or any("WebUI" in str(m) for m in out)
