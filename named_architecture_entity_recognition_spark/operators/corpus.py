@@ -254,10 +254,13 @@ def prepare_corpus(
     dedup is one window over the content fingerprint (shuffle on
     fingerprint hash); near-dup is dup_clusters (banded LSH equi-join +
     CC) confined to exact-dedup survivors; the split is a per-row hash.
-    At production scale, materialize the funnel's intermediate
-    (post-filter) table once instead of letting each union branch
-    recompute the scan — here branches share one corpus scan per stage
-    via the same plan subtree, which Spark dedups under AQE reuse.
+
+    The lazy plan scans the corpus once per union branch (4 scans —
+    visible in explain; Spark does NOT dedup them). Fine at test scale;
+    at 100 TB materialize the post-filter survivor table once (e.g. via
+    plans/lineage.py checkpointing, as the flagship does) and run the
+    dedup/split stages off that — the status rows per stage then each
+    read their own (much smaller) input exactly once.
     """
     from named_architecture_entity_recognition_spark.operators.textstats import (
         fingerprint,
