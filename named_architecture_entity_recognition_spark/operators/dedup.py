@@ -106,6 +106,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    impl: str = "python",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
@@ -128,8 +129,9 @@ def minhash_lsh_pairs(
         F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
         >= F.lit(shingle_n)
     )
-    sig = ensure_parallelism(eligible).select(
-        "doc_id", minhash_signature(F.col(text_col), n_hashes, shingle_n).alias("sig")
+    sig = minhash_signatures_df(
+        ensure_parallelism(eligible), text_col=text_col, n_hashes=n_hashes,
+        shingle_n=shingle_n, impl=impl,
     )
     banded = sig.select(
         "doc_id",
@@ -387,4 +389,63 @@ def simhash_signatures(
     doc_type = dict(docs.select("doc_id").dtypes)["doc_id"]
     return docs.select("doc_id", text_col).mapInPandas(
         process, schema=f"doc_id {doc_type}, sig string"
+    )
+
+
+def minhash_signatures_df(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 8,
+    shingle_n: int = 3,
+    impl: str = "python",
+) -> DataFrame:
+    """(doc_id, sig array<string>) MinHash signatures, two
+    interchangeable kernels (same pattern as simhash_signatures).
+
+    impl='python' (default): Arrow-batched mapInPandas — hashlib md5
+    per (seed, shingle) and Python ``min`` over hex strings, which is
+    byte-identical to the JVM's lexicographic string min (both compare
+    ASCII hex). Skips the interpreted HOF fold entirely.
+
+    impl='expr': the pure-Catalyst minhash_signature column (the
+    DuckDB-oracle reference form).
+
+    Docs with no shingles get all-null signature entries in BOTH
+    kernels (array_min-of-empty semantics).
+    """
+    if impl == "expr":
+        return docs.select(
+            "doc_id",
+            minhash_signature(F.col(text_col), n_hashes, shingle_n).alias("sig"),
+        )
+
+    import hashlib as _hashlib
+    import re as _re
+    from typing import Iterator
+
+    import pandas as pd
+
+    def sig_of(text: str):
+        words = _re.split(r"\s+", (text or "").strip().lower())
+        sh = set()
+        for i in range(max(len(words) - (shingle_n - 1), 0)):
+            sh.add(" ".join(words[i : i + shingle_n]))
+        if not sh:
+            return [None] * n_hashes
+        return [
+            min(
+                _hashlib.md5((str(k) + s).encode()).hexdigest() for s in sh
+            )
+            for k in range(n_hashes)
+        ]
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "sig": pdf[text_col].map(sig_of)}
+            )
+
+    doc_type = dict(docs.select("doc_id").dtypes)["doc_id"]
+    return docs.select("doc_id", text_col).mapInPandas(
+        process, schema=f"doc_id {doc_type}, sig array<string>"
     )

@@ -355,3 +355,27 @@ def test_ann_operators_survive_zero_vectors(spark):
         emb, qz, k=3, n_centroids=2, nprobe=2, assign="numpy"
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_minhash_python_kernel_identical_to_expression(spark):
+    """Python min over md5 hex == JVM lexicographic string min, so the
+    vectorized kernel must produce identical signatures — including the
+    all-null empty-shingle rows."""
+    from named_architecture_entity_recognition_spark.operators.dedup import (
+        minhash_signatures_df,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").limit(60)
+    edge = spark.createDataFrame(
+        [(9001, "one two"), (9002, ""), (9003, "a b c d")],
+        "doc_id bigint, text string",
+    )
+    both = docs.unionByName(edge)
+    a = {r.doc_id: tuple(r.sig) for r in
+         minhash_signatures_df(both, impl="expr").collect()}
+    b = {r.doc_id: tuple(r.sig) for r in
+         minhash_signatures_df(both, impl="python").collect()}
+    assert a == b
+    assert a[9002] == (None,) * 8  # < 3 words -> all-null signature
