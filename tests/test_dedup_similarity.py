@@ -379,3 +379,21 @@ def test_minhash_python_kernel_identical_to_expression(spark):
          minhash_signatures_df(both, impl="python").collect()}
     assert a == b
     assert a[9002] == (None,) * 8  # < 3 words -> all-null signature
+
+
+def test_hyperplane_python_kernel_identical_to_expression(spark, embeddings):
+    """The Python sequential fold reproduces the Catalyst aggregate's
+    sign bits exactly (same IEEE addition order, same md5-derived plane
+    constants) — buckets, and therefore LSH results, are identical."""
+    from named_architecture_entity_recognition_spark.operators.similarity import (
+        _as_double,
+        hyperplane_buckets_df,
+    )
+
+    base = _as_double(embeddings.select("vec_id", "embedding"), "embedding")
+    for planes in (4, 8):
+        a = {r.vec_id: r.bucket for r in
+             hyperplane_buckets_df(base, n_planes=planes, impl="expr").collect()}
+        b = {r.vec_id: r.bucket for r in
+             hyperplane_buckets_df(base, n_planes=planes, impl="python").collect()}
+        assert a == b
