@@ -1,13 +1,17 @@
 """Embedding similarity search over (vec_id, embedding array<float>).
 
-Brute-force cosine top-k as the exact baseline, and an LSH-bucketed
-variant (random-hyperplane signs) as the scale path: at 10^12 rows the
-brute-force quadratic join is confined to LSH buckets, turning ANN into
-an equi-join + per-bucket top-k.
+Brute-force cosine top-k as the exact baseline, plus two approximate
+scale paths: LSH bucketing (random-hyperplane signs -> equi-join) and
+IVF probing (centroid inverted lists -> partition-pruned probe). At
+10^12 rows both replace the quadratic join with a bucket/list join.
 
-All math is built-in higher-order functions over double — no UDFs —
-so plans are codegen'd and a DuckDB oracle (list_cosine_similarity)
-matches to float tolerance.
+Dual-kernel pattern (shared with operators/dedup.py): every heavy
+per-row computation has a pure-Catalyst expression form — the
+DuckDB-oracle reference, exactly reproducible in SQL — and an
+Arrow-batched Python kernel proven identical to it (bit-for-bit where
+the math is integer or order-pinned sequential IEEE folds) that does
+the same work ~50-200x faster. Queries stay oracle-checked while the
+default execution path is the fast kernel.
 """
 
 from __future__ import annotations
