@@ -148,17 +148,25 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     impl: str = "python",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
     bucket (equi-join on bucket), then exact cosine + per-query top-k.
-    Recall is tunable via n_planes/multi-probe; this is the shape that
-    survives 10^12 rows (bucket join instead of cross join).
+    This is the shape that survives 10^12 rows (bucket join instead of
+    cross join).
 
     ``impl`` selects the bucket kernel (hyperplane_buckets_df):
     'python' (default, Arrow-batched, bit-identical buckets) or 'expr'
     (pure Catalyst, the oracle-reference form). Buckets are computed
     AFTER the float->double cast on both paths, so the fold inputs are
-    identical doubles."""
+    identical doubles.
+
+    ``multiprobe``: recall knob. 0 probes only the query's own bucket;
+    1 additionally probes every Hamming-1 neighbor bucket (n_planes
+    extra probes per query — a vector near a hyperplane lands one sign
+    flip away, the dominant LSH miss mode). Still an equi-join: the
+    QUERY side fans out (tiny, broadcast), the corpus index is
+    untouched."""
     corpus = hyperplane_buckets_df(
         _as_double(embeddings.select(id_col, vec_col), vec_col),
         vec_col=vec_col, n_planes=n_planes, impl=impl,
@@ -169,6 +177,26 @@ def cosine_topk_lsh(
         ),
         vec_col="q_emb", n_planes=n_planes, impl=impl,
     )
+    if multiprobe:
+        if multiprobe != 1:
+            raise ValueError("multiprobe supports 0 or 1 (Hamming-1 probing)")
+        # probe list in plain column algebra: own bucket + each one-bit
+        # flip (substr concat around position p)
+        b = F.col("bucket")
+        probes = F.array_union(
+            F.array(b),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(n_planes)),
+                lambda p: F.concat(
+                    b.substr(F.lit(1), p - 1),
+                    F.when(b.substr(p, F.lit(1)) == "1", F.lit("0")).otherwise(
+                        F.lit("1")
+                    ),
+                    b.substr(p + 1, F.lit(n_planes)),
+                ),
+            ),
+        )
+        qs = qs.withColumn("bucket", F.explode(probes))
     scored = corpus.join(F.broadcast(qs), "bucket").select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),

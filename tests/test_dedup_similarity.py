@@ -397,3 +397,36 @@ def test_hyperplane_python_kernel_identical_to_expression(spark, embeddings):
         b = {r.vec_id: r.bucket for r in
              hyperplane_buckets_df(base, n_planes=planes, impl="python").collect()}
         assert a == b
+
+
+def test_lsh_multiprobe_recovers_one_flip_neighbor(spark, embeddings):
+    """Hamming-1 multiprobe must recall at least everything the single
+    probe finds, and strictly more when a true neighbor sits one sign
+    flip away (the dominant LSH miss mode)."""
+    from named_architecture_entity_recognition_spark.operators.similarity import (
+        cosine_topk_lsh,
+    )
+
+    qs = embeddings.select(F.col("vec_id").alias("query_id"), "embedding")
+    base = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_lsh(embeddings, qs, k=5, n_planes=6).collect()
+    }
+    probed = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_lsh(
+            embeddings, qs, k=5, n_planes=6, multiprobe=1
+        ).collect()
+    }
+    # per query, the probed candidate pool is a superset, so every
+    # neighbor with a score above the base kth-best must still appear;
+    # globally the pool can only grow
+    assert len(probed) >= len(base)
+    # at 6 planes over 41 random vectors, some true neighbor is one
+    # flip away for at least one query — multiprobe must find new pairs
+    assert probed != base
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiprobe"):
+        cosine_topk_lsh(embeddings, qs, k=5, multiprobe=2)
