@@ -644,7 +644,9 @@ def _q_ann_ivf_topk(spark, sf):
     qs = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return cosine_topk_ivf(e, qs, k=5, n_centroids=16, nprobe=4)
+    # assign='expr': the Catalyst fold is the oracle-exact form (the
+    # numpy matmul default can differ by float ulps in argmax ties)
+    return cosine_topk_ivf(e, qs, k=5, n_centroids=16, nprobe=4, assign="expr")
 
 
 def _q_simhash(spark, sf):

@@ -219,7 +219,7 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list | None = None,
-    assign: str = "expr",
+    assign: str = "numpy",
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) probing — the other
     standard ANN scale path next to LSH bucketing.
@@ -239,11 +239,13 @@ def cosine_topk_ivf(
     assignment + probe). Tie-breaks: higher centroid id wins on equal
     similarity (array_max struct ordering), mirrored by the oracle.
 
-    ``assign``: 'expr' (default) computes the corpus-side assignment
-    with Catalyst fold expressions — oracle-exact but interpreted
-    (HOF lambdas), ~ms/row; 'numpy' uses the Arrow-batched matmul
-    kernel (ivf_assign_numpy), ~µs/row — the production path at 10^12
-    rows. Both agree on real data (see test_dedup_similarity); they can
+    ``assign``: 'numpy' (default) uses the Arrow-batched matmul kernel
+    (ivf_assign_numpy), ~µs/row — the production path at 10^12 rows;
+    'expr' computes the assignment with Catalyst fold expressions —
+    the oracle-exact reference form the driver query pins (BLAS
+    summation order can differ from the sequential fold by float ulps,
+    so only 'expr' is guaranteed hash-stable against the SQL oracle).
+    Both agree on real data (see test_dedup_similarity); they can
     differ only when two centroid similarities tie within float ulps.
     """
     corpus = _as_double(embeddings.select(id_col, vec_col), vec_col)
