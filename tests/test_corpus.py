@@ -200,3 +200,57 @@ def test_argument_guards(spark):
     d = docs.withColumn("source", F.lit("s")).withColumn("text", F.lit("x y"))
     with _pytest.raises(ValueError, match="budget_tokens"):
         pack_sequences(d, 0)
+
+
+def test_contamination_df_cap_bounds_boilerplate_fanout(spark):
+    """The doc-frequency cap drops boilerplate shingles from the train
+    side: boilerplate-only overlaps disappear, genuine containment
+    survives, and no score ever increases."""
+    boiler = "this document is provided under the standard license terms"
+    ev = spark.createDataFrame(
+        [(100, boiler), (200, "alpha beta gamma delta epsilon")],
+        "doc_id bigint, text string",
+    )
+    tr_rows = [(i, boiler + f" filler{i} more filler words here") for i in range(1, 6)]
+    tr_rows.append((50, "alpha beta gamma delta epsilon plus unique suffix words"))
+    tr = spark.createDataFrame(tr_rows, "doc_id bigint, text string")
+
+    uncapped = {
+        (r.eval_id, r.train_id): r.containment
+        for r in contamination(tr, ev, threshold=0.1).collect()
+    }
+    capped = {
+        (r.eval_id, r.train_id): r.containment
+        for r in contamination(tr, ev, threshold=0.1, max_shingle_df=2).collect()
+    }
+    # boilerplate eval doc matched every train doc uncapped, none capped
+    assert any(k[0] == 100 for k in uncapped)
+    assert not any(k[0] == 100 for k in capped)
+    # the genuine containment pair survives at full score
+    assert capped[(200, 50)] == uncapped[(200, 50)]
+    # monotone: capping never increases a score
+    assert all(capped[k] <= uncapped[k] for k in capped)
+
+
+def test_funnel_composes_with_packing(spark):
+    """prepare_corpus 'kept' docs feed pack_sequences directly: the
+    composed pipeline covers every kept doc exactly once."""
+    from named_architecture_entity_recognition_spark.operators.corpus import (
+        prepare_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, "srcA" if i % 2 else "srcB",
+             f"the document number {i} talks about the weather and the "
+             f"seasons with plenty of ordinary english words to pass "
+             f"quality checks easily {i}")
+            for i in range(20)
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    verdicts = prepare_corpus(docs.select("doc_id", "text"))
+    kept = verdicts.filter("status = 'kept'").select("doc_id")
+    packed = pack_sequences(docs.join(kept, "doc_id"), budget_tokens=64)
+    assert packed.count() == kept.count()
+    assert packed.select("doc_id").distinct().count() == kept.count()
