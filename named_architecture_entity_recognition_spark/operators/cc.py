@@ -62,6 +62,12 @@ def connected_components(
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .dropDuplicates(["src", "dst"])
     )
+    # the edge list joins into EVERY iteration; without truncation its
+    # full upstream lineage (e.g. a 10^7-pair LSH band join) re-executes
+    # per iteration — measured 3-4x the whole CC cost on dup-cluster
+    # workloads. Lazy checkpoint: materialized by iteration 1's action,
+    # reused afterwards.
+    sym = _ckpt(sym)
     # label(node) = min(node, min neighbor label); iterate to fixpoint
     labels = (
         sym.groupBy("src")

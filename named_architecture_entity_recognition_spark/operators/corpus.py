@@ -32,6 +32,7 @@ def dup_clusters(
     shingle_n: int = 3,
     max_iter: int = 10,
     checkpoint_dir: str | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: LSH candidate pairs -> connected
     components -> (doc_id, cluster_id, keep).
@@ -54,7 +55,8 @@ def dup_clusters(
     )
 
     pairs = minhash_lsh_pairs(
-        docs, text_col=text_col, n_hashes=n_hashes, bands=bands, shingle_n=shingle_n
+        docs, text_col=text_col, n_hashes=n_hashes, bands=bands,
+        shingle_n=shingle_n, max_bucket_size=max_bucket_size,
     )
     # CC labels compare as strings; zero-pad numeric ids so the
     # lexicographic min IS the numeric min ("02" < "10", unlike "2")
@@ -253,6 +255,7 @@ def prepare_corpus(
     n_hashes: int = 4,
     bands: int = 2,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """The composed data-prep pipeline a training corpus actually ships
     through: language filter -> quality filter -> exact dedup -> near-dup
@@ -307,7 +310,7 @@ def prepare_corpus(
 
     clusters = dup_clusters(
         surv2, text_col=text_col, n_hashes=n_hashes, bands=bands,
-        shingle_n=shingle_n,
+        shingle_n=shingle_n, max_bucket_size=max_bucket_size,
     )
     near_drops = clusters.filter(~F.col("keep")).select(
         "doc_id", F.lit("near_dup").alias("status")

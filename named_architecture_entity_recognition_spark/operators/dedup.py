@@ -107,6 +107,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     impl: str = "python",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
@@ -114,6 +115,15 @@ def minhash_lsh_pairs(
     sharing any full band collide. Output (doc_a, doc_b) with doc_a <
     doc_b, distinct. Shuffle = one groupBy-free self-equi-join on
     (band_idx, band_key).
+
+    ``max_bucket_size``: hot-bucket guard. A band bucket holding B docs
+    emits B*(B-1)/2 pairs — template/boilerplate corpora put thousands
+    of docs in ONE bucket and the join goes quadratic (measured: a
+    4000-doc template corpus emits millions of pairs and dominates the
+    whole prep funnel). With the cap set, buckets larger than it are
+    dropped: such a bucket is a template CLUSTER, better handled by
+    exact-dedup of the template or a dedicated clustering pass, not by
+    enumerating every pair. None (default) = exact candidate set.
     """
     from named_architecture_entity_recognition_spark.session import (
         ensure_parallelism,
@@ -144,6 +154,15 @@ def minhash_lsh_pairs(
             )
         ).alias("band_idx", "band_key"),
     )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "band_key")
+        banded = (
+            banded.withColumn("bucket_size", F.count("*").over(w))
+            .filter(F.col("bucket_size") <= max_bucket_size)
+            .drop("bucket_size")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

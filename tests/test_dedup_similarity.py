@@ -430,3 +430,22 @@ def test_lsh_multiprobe_recovers_one_flip_neighbor(spark, embeddings):
 
     with _pytest.raises(ValueError, match="multiprobe"):
         cosine_topk_lsh(embeddings, qs, k=5, multiprobe=2)
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """max_bucket_size drops template mega-buckets (quadratic pair
+    source) while genuine small-cluster pairs survive."""
+    template = "the quick brown fox jumps over the lazy dog every day"
+    rows = [(i, template) for i in range(30)]           # one mega-bucket
+    rows += [(100, "a unique pair of documents here ok fine"),
+             (101, "a unique pair of documents here ok fine")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = minhash_lsh_pairs(docs, n_hashes=4, bands=2).count()
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(
+            docs, n_hashes=4, bands=2, max_bucket_size=5
+        ).collect()
+    }
+    assert uncapped >= 30 * 29 // 2  # the template cluster went quadratic
+    assert capped == {(100, 101)}   # cap keeps only the genuine pair
