@@ -101,6 +101,38 @@ def run_bench(sf_dir: str, cpus: str, n_synth_docs: int | None = None):
         qs[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
 
+    # --- corpus-prep stress (extras only, NOT in the headline total):
+    # the full prepare_corpus funnel over the flattened synthetic corpus
+    # — template-generated, so near-dup density is adversarial (worst
+    # case for LSH+CC); hot-bucket cap engaged as a production run would
+    from pyspark.sql import functions as F
+
+    from named_architecture_entity_recognition_spark.operators.corpus import (
+        prepare_corpus,
+    )
+
+    flat = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.filter("spans", lambda s: s["kind"] == "text"),
+                lambda s: s["text"],
+            ),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    n_kept = (
+        prepare_corpus(flat, max_bucket_size=64)
+        .filter("status = 'kept'")
+        .count()
+    )
+    extras["corpus_prep_sec"] = round(time.time() - t0, 3)
+    extras["corpus_prep_docs_per_sec"] = round(
+        n_synth_docs / (time.time() - t0), 1
+    )
+    extras["corpus_prep_kept"] = n_kept
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "naer_kg_headline_total",
