@@ -270,6 +270,7 @@ def simhash_pairs(
     shingle_n: int = 2,
     text_col: str = "text",
     impl: str = "numpy",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Hamming-<=k candidate pairs over 64-bit SimHash signatures.
 
@@ -282,6 +283,11 @@ def simhash_pairs(
     distance on the joined signatures, confined to candidates.
 
     Output: (doc_a, doc_b, hamming) with doc_a < doc_b, distinct.
+
+    ``max_bucket_size``: same hot-block guard as minhash_lsh_pairs —
+    template corpora put thousands of docs in one block and the
+    equi-join goes quadratic; blocks above the cap are dropped (they
+    are template clusters, not pairwise near-dups). None = exact.
     """
     from named_architecture_entity_recognition_spark.session import (
         ensure_parallelism,
@@ -314,6 +320,15 @@ def simhash_pairs(
             )
         ).alias("block_idx", "block"),
     )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("block_idx", "block")
+        banded = (
+            banded.withColumn("bucket_size", F.count("*").over(w))
+            .filter(F.col("bucket_size") <= max_bucket_size)
+            .drop("bucket_size")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

@@ -449,3 +449,20 @@ def test_lsh_hot_bucket_cap(spark):
     }
     assert uncapped >= 30 * 29 // 2  # the template cluster went quadratic
     assert capped == {(100, 101)}   # cap keeps only the genuine pair
+
+
+def test_simhash_hot_block_cap(spark):
+    from named_architecture_entity_recognition_spark.operators.dedup import (
+        simhash_pairs,
+    )
+
+    template = "the quick brown fox jumps over the lazy dog every day"
+    rows = [(i, template) for i in range(20)]
+    rows += [(100, "a unique pair of documents here ok fine"),
+             (101, "a unique pair of documents here ok fine")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_pairs(docs, max_hamming=3, max_bucket_size=5).collect()
+    }
+    assert capped == {(100, 101)}
