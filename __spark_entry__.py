@@ -418,6 +418,33 @@ def _q_prepare_corpus(spark, sf):
     return prepare_corpus(_read(spark, sf, "documents"))
 
 
+def _q_repetition(spark, sf):
+    """Gopher/C4-style repetition filters: top-2/3-gram fraction and
+    duplicate-5-gram fraction per doc + a thresholded verdict. Per-row
+    Catalyst HOFs (n-gram array -> sort -> one linear run-length
+    aggregate): zero shuffle, zero Python."""
+    from named_architecture_entity_recognition_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    return repetition_stats(_read(spark, sf, "documents"))
+
+
+def _q_sample_mixture(spark, sf):
+    """Deterministic domain-mixture sampling: md5-hash Bernoulli with a
+    per-source rate (reproducible, backfill-stable, and nested — the
+    30% sample is a subset of the 50% sample). Pure per-row filter."""
+    from named_architecture_entity_recognition_spark.operators.corpus import (
+        sample_mixture,
+    )
+
+    return sample_mixture(
+        _read(spark, sf, "documents"),
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+    ).select("doc_id", "source")
+
+
 def _q_ngram_jaccard(spark, sf):
     from named_architecture_entity_recognition_spark.operators.dedup import shingles
 
@@ -1051,6 +1078,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": _q_pack_sequences,
         "q_contamination": _q_contamination,
         "q_prepare_corpus": _q_prepare_corpus,
+        "q_repetition": _q_repetition,
+        "q_sample_mixture": _q_sample_mixture,
         "q_ngram_jaccard": _q_ngram_jaccard,
         "q_token_count": _q_token_count,
         "q_quality": _q_quality,
@@ -1370,6 +1399,47 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT doc_id, 'exact_dup', NULL FROM fpr WHERE rn > 1 "
             "UNION ALL SELECT doc_id, 'near_dup', NULL FROM cl "
             "WHERE cluster_id != doc_id"
+        ),
+        "q_repetition": (
+            # per-n stats via unnest+group (relationally clearest);
+            # must equal the engine's sorted run-length aggregate
+            f"WITH t AS (SELECT doc_id, list_filter({words}, w -> w != '') "
+            "AS ws FROM documents), "
+            "g AS (SELECT doc_id, len(ws) AS nw, "
+            "CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)), "
+            "i -> array_to_string(ws[i:i+1], ' ')) ELSE []::VARCHAR[] END AS g2, "
+            "CASE WHEN len(ws) >= 3 THEN list_transform(range(1, len(ws)-1), "
+            "i -> array_to_string(ws[i:i+2], ' ')) ELSE []::VARCHAR[] END AS g3, "
+            "CASE WHEN len(ws) >= 5 THEN list_transform(range(1, len(ws)-3), "
+            "i -> array_to_string(ws[i:i+4], ' ')) ELSE []::VARCHAR[] END AS g5 "
+            "FROM t), "
+            "c2 AS (SELECT doc_id, gram, count(*) AS c FROM "
+            "(SELECT doc_id, unnest(g2) AS gram FROM g) GROUP BY 1, 2), "
+            "s2 AS (SELECT doc_id, max(c) AS maxc, sum(c) AS tot FROM c2 GROUP BY 1), "
+            "c3 AS (SELECT doc_id, gram, count(*) AS c FROM "
+            "(SELECT doc_id, unnest(g3) AS gram FROM g) GROUP BY 1, 2), "
+            "s3 AS (SELECT doc_id, max(c) AS maxc, sum(c) AS tot FROM c3 GROUP BY 1), "
+            "c5 AS (SELECT doc_id, gram, count(*) AS c FROM "
+            "(SELECT doc_id, unnest(g5) AS gram FROM g) GROUP BY 1, 2), "
+            "s5 AS (SELECT doc_id, sum(c) - count(*) AS dups, sum(c) AS tot "
+            "FROM c5 GROUP BY 1), "
+            "f AS (SELECT g.doc_id, g.nw, "
+            "coalesce(round(s2.maxc / s2.tot::DOUBLE, 6), 0.0) AS top2gram_frac, "
+            "coalesce(round(s3.maxc / s3.tot::DOUBLE, 6), 0.0) AS top3gram_frac, "
+            "coalesce(round(s5.dups / s5.tot::DOUBLE, 6), 0.0) AS dup5gram_frac "
+            "FROM g LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id) "
+            "LEFT JOIN s5 USING (doc_id)) "
+            "SELECT doc_id, top2gram_frac, top3gram_frac, dup5gram_frac, "
+            "(nw >= 20 AND (top2gram_frac > 0.2 OR top3gram_frac > 0.18 "
+            "OR dup5gram_frac > 0.3)) AS repetitive FROM f"
+        ),
+        "q_sample_mixture": (
+            "WITH f AS (SELECT doc_id, source, "
+            "('0x' || substr(md5('mix-v1' || doc_id::VARCHAR), 1, 8))::UBIGINT"
+            "::DOUBLE / 4294967296.0 AS frac FROM documents) "
+            "SELECT doc_id, source FROM f WHERE frac < (CASE source "
+            "WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25 "
+            "ELSE 0.1 END)"
         ),
         "q_ngram_jaccard": (
             f"WITH sh AS (SELECT doc_id, list_distinct({sh}) AS s FROM documents) "

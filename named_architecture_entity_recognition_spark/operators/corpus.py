@@ -130,6 +130,58 @@ def hash_split(
     return docs.withColumn("split", expr)
 
 
+def sample_mixture(
+    docs: DataFrame,
+    rates: dict[str, float],
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic domain-mixture downsampling: keep each row with
+    probability ``rates[key]`` (``default_rate`` for unlisted keys).
+
+    frac(doc) = first 8 hex chars of md5(salt || id) / 16^8 — the same
+    uniform [0,1) hash as hash_split, under its OWN salt so mixture
+    membership is independent of split assignment. A row is kept iff
+    frac < rate(key), which makes the sample:
+
+    - reproducible: identical keep-set on every run/engine;
+    - backfill-stable: new docs never flip old docs in or out;
+    - nested: the rate-r sample is a superset of every rate-r' < r
+      sample, so mixture weights can be retuned without re-reading the
+      kept data that both mixtures share.
+
+    Pure per-row expression — no shuffle, no Python, composes with any
+    scan (Catalyst evaluates it as an ordinary filter). This is the
+    standard "sample source X at 30%, upweight wiki to 100%" mixture
+    step of a training-corpus recipe, done without randomness.
+    """
+    bad = {k: r for k, r in rates.items() if not 0.0 <= float(r) <= 1.0}
+    if not rates or bad or not 0.0 <= float(default_rate) <= 1.0:
+        raise ValueError(
+            f"rates must be non-empty with values in [0,1]: {bad or rates},"
+            f" default_rate={default_rate}"
+        )
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**8))
+    )
+    rate = None
+    for k, r in rates.items():
+        cond = F.col(key_col) == k
+        lit = F.lit(float(r))
+        rate = F.when(cond, lit) if rate is None else rate.when(cond, lit)
+    rate = rate.otherwise(F.lit(float(default_rate)))
+    return docs.where(frac < rate)
+
+
 def token_count(col) -> Column:
     """Whitespace token count (textstats-compatible)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -101,6 +101,131 @@ def fingerprint(col) -> Column:
     return F.md5(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "))
 
 
+def _ngrams_of(t: Column, n: int) -> Column:
+    """n-gram array from an ALREADY-TOKENIZED array column."""
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.array_join(F.slice(t, i + F.lit(1), n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngrams(col, n: int) -> Column:
+    """Array of space-joined word n-grams (empty array when < n words)."""
+    return _ngrams_of(tokens(col), n)
+
+
+def _run_stats(grams: Column) -> Column:
+    """struct(maxrun, dups) over the sorted gram array in ONE pass.
+
+    maxrun = count of the most frequent gram; dups = occurrences beyond
+    each gram's first (= total - distinct). Sorting groups equal grams
+    into runs, so both fall out of a single linear aggregate — per-row,
+    JVM-side, no explode/groupBy shuffle and no Python.
+    """
+    s = F.array_sort(grams)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("maxrun"),
+        F.lit(0).alias("dups"),
+    )
+
+    def step(acc, x):
+        same = acc["prev"].eqNullSafe(x)
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["maxrun"], run).alias("maxrun"),
+            (acc["dups"] + F.when(same, F.lit(1)).otherwise(F.lit(0))).alias(
+                "dups"
+            ),
+        )
+
+    return F.aggregate(
+        s,
+        init,
+        step,
+        lambda a: F.struct(a["maxrun"].alias("maxrun"), a["dups"].alias("dups")),
+    )
+
+
+def _frac(num: Column, tot: Column) -> Column:
+    return F.when(tot > 0, F.round(num.cast("double") / tot, 6)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    top2_max: float = 0.20,
+    top3_max: float = 0.18,
+    dup5_max: float = 0.30,
+    min_words: int = 20,
+) -> DataFrame:
+    """Gopher/C4-style within-document repetition filters.
+
+    Per doc: fraction of 2-grams (3-grams) taken by the single most
+    frequent 2-gram (3-gram), fraction of 5-gram occurrences that are
+    repeats of an earlier 5-gram, and a ``repetitive`` verdict when any
+    fraction exceeds its threshold (defaults near the published Gopher
+    cut-offs). Boilerplate/spam/generation loops score high; natural
+    prose scores near 1/n_grams. Docs under ``min_words`` are never
+    flagged — a 7-word doc has top-gram fraction ≥ 1/6 by pigeonhole,
+    which is length, not repetition (short docs belong to the length
+    filter, not this one).
+
+    Scale: entirely per-row Catalyst higher-order functions — n-gram
+    array, sort, one linear run-length aggregate. Zero shuffle, zero
+    Python, embarrassingly parallel at any corpus size (contrast the
+    equivalent explode → groupBy(doc, gram) plan, which shuffles one
+    row per token occurrence).
+
+    Thresholds apply to the ROUNDED fractions (round 6), so the verdict
+    is bit-stable across engines.
+
+    The plan tokenizes ONCE and builds each n-gram array ONCE, via
+    layered projections: Catalyst's CollapseProject keeps a non-cheap
+    alias materialized when it is referenced more than once, so the
+    split/transform work is not re-inlined per metric (inlining would
+    re-split the text ~30× per row).
+    """
+    toks = docs.select("doc_id", tokens(F.col(text_col)).alias("_ws"))
+    grams = toks.select(
+        "doc_id",
+        F.size("_ws").alias("_nw"),
+        _ngrams_of(F.col("_ws"), 2).alias("_g2"),
+        _ngrams_of(F.col("_ws"), 3).alias("_g3"),
+        _ngrams_of(F.col("_ws"), 5).alias("_g5"),
+    )
+    out = grams.select(
+        "doc_id",
+        "_nw",
+        _frac(_run_stats(F.col("_g2"))["maxrun"], F.size("_g2")).alias(
+            "top2gram_frac"
+        ),
+        _frac(_run_stats(F.col("_g3"))["maxrun"], F.size("_g3")).alias(
+            "top3gram_frac"
+        ),
+        _frac(_run_stats(F.col("_g5"))["dups"], F.size("_g5")).alias(
+            "dup5gram_frac"
+        ),
+    )
+    return out.withColumn(
+        "repetitive",
+        (F.col("_nw") >= min_words)
+        & (
+            (F.col("top2gram_frac") > top2_max)
+            | (F.col("top3gram_frac") > top3_max)
+            | (F.col("dup5gram_frac") > dup5_max)
+        ),
+    ).drop("_nw")
+
+
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return docs.select(

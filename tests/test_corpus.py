@@ -254,3 +254,118 @@ def test_funnel_composes_with_packing(spark):
     packed = pack_sequences(docs.join(kept, "doc_id"), budget_tokens=64)
     assert packed.count() == kept.count()
     assert packed.select("doc_id").distinct().count() == kept.count()
+
+
+def test_sample_mixture_rates_and_nesting(spark):
+    """rate 1.0 keeps everything, 0.0 keeps nothing, and samples are
+    NESTED: the keep-set at rate r is a subset of the keep-set at any
+    r' > r (retuning mixture weights never resamples kept data)."""
+    from named_architecture_entity_recognition_spark.operators.corpus import (
+        sample_mixture,
+    )
+
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    keep_all = sample_mixture(docs, {"src0": 1.0}, default_rate=1.0)
+    assert keep_all.count() == 400
+    keep_none = sample_mixture(docs, {"src0": 0.0}, default_rate=0.0)
+    assert keep_none.count() == 0
+    lo = {r.doc_id for r in sample_mixture(docs, {"src1": 0.3}).collect()}
+    hi = {r.doc_id for r in sample_mixture(docs, {"src1": 0.7}).collect()}
+    assert lo <= hi
+    # per-source: only src1 survives (others default 0.0), roughly 30%/70%
+    assert 0.15 < len(lo) / 133 < 0.45 and 0.55 < len(hi) / 133 < 0.85
+    # backfill stability: adding docs never flips old verdicts
+    bigger = spark.range(800).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    lo2 = {
+        r.doc_id
+        for r in sample_mixture(bigger, {"src1": 0.3}).collect()
+        if r.doc_id < 400
+    }
+    assert lo2 == lo
+
+
+def test_sample_mixture_rejects_bad_rates(spark):
+    from named_architecture_entity_recognition_spark.operators.corpus import (
+        sample_mixture,
+    )
+
+    docs = spark.range(5).withColumnRenamed("id", "doc_id")
+    for bad in ({}, {"a": 1.5}, {"a": -0.1}):
+        with pytest.raises(ValueError):
+            sample_mixture(docs, bad)
+    with pytest.raises(ValueError):
+        sample_mixture(docs, {"a": 0.5}, default_rate=2.0)
+
+
+def test_repetition_stats_known_values(spark):
+    """Hand-computed fractions, the short-doc gate, and the zero-gram
+    edge (empty / single-word docs score 0.0 everywhere)."""
+    from named_architecture_entity_recognition_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    loop = " ".join(["spam ham"] * 12)  # 24 words of 'spam ham spam ham ...'
+    prose = " ".join(f"w{i}" for i in range(30))  # 30 distinct words
+    docs = spark.createDataFrame(
+        [(1, loop), (2, prose), (3, "x"), (4, ""), (5, "a b a b")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    # loop: 23 2-grams, 'spam ham' x12 -> 12/23; 20 5-grams, 2 distinct -> 18/20
+    assert rows[1].top2gram_frac == round(12 / 23, 6)
+    assert rows[1].dup5gram_frac == round(18 / 20, 6)
+    assert rows[1].repetitive
+    # distinct prose: top2 = 1/29, no dup 5-grams, not repetitive
+    assert rows[2].top2gram_frac == round(1 / 29, 6)
+    assert rows[2].dup5gram_frac == 0.0
+    assert not rows[2].repetitive
+    # degenerate docs: all zero, never flagged
+    for d in (3, 4):
+        assert rows[d].top2gram_frac == 0.0 and not rows[d].repetitive
+    # 4 words: high fractions but UNDER min_words -> gate suppresses flag
+    assert rows[5].top2gram_frac > 0.2 and not rows[5].repetitive
+
+
+def test_repetition_stats_matches_python_reference(spark):
+    """Run-length aggregate == brute-force Counter on varied docs."""
+    from collections import Counter
+
+    from named_architecture_entity_recognition_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+        for i in range(25)
+    ]
+
+    def brute(text, n):
+        ws = [w for w in text.lower().split() if w]
+        grams = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+        if not grams:
+            return 0.0, 0.0
+        c = Counter(grams)
+        return (
+            round(max(c.values()) / len(grams), 6),
+            round((len(grams) - len(c)) / len(grams), 6),
+        )
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.doc_id: r for r in repetition_stats(sdf).collect()}
+    for doc_id, text in docs:
+        top2, _ = brute(text, 2)
+        top3, _ = brute(text, 3)
+        _, dup5 = brute(text, 5)
+        assert rows[doc_id].top2gram_frac == top2, (doc_id, text)
+        assert rows[doc_id].top3gram_frac == top3, (doc_id, text)
+        assert rows[doc_id].dup5gram_frac == dup5, (doc_id, text)
