@@ -445,6 +445,30 @@ def _q_sample_mixture(spark, sf):
     ).select("doc_id", "source")
 
 
+def _q_asof_join(spark, sf):
+    """Point-in-time join via union+window (ONE shuffle on the key, no
+    per-key cross product): each purchase gets the user's latest click
+    at-or-before it. Oracle = DuckDB's native ASOF LEFT JOIN."""
+    from named_architecture_entity_recognition_spark.operators.asof import (
+        asof_join,
+    )
+
+    ev = _read(spark, sf, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(left, right, on="user_id", ts="ts").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_right").alias("click_ts"),
+        F.col("value_right").alias("click_value"),
+    )
+
+
 def _q_ngram_jaccard(spark, sf):
     from named_architecture_entity_recognition_spark.operators.dedup import shingles
 
@@ -1080,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_prepare_corpus": _q_prepare_corpus,
         "q_repetition": _q_repetition,
         "q_sample_mixture": _q_sample_mixture,
+        "q_asof_join": _q_asof_join,
         "q_ngram_jaccard": _q_ngram_jaccard,
         "q_token_count": _q_token_count,
         "q_quality": _q_quality,
@@ -1440,6 +1465,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source FROM f WHERE frac < (CASE source "
             "WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25 "
             "ELSE 0.1 END)"
+        ),
+        "q_asof_join": (
+            "SELECT l.event_id, l.user_id, l.ts, r.ts AS click_ts, "
+            "r.value AS click_value "
+            "FROM (SELECT event_id, user_id, ts, value FROM events "
+            "WHERE event_type = 'purchase') l "
+            "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events "
+            "WHERE event_type = 'click') r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts"
         ),
         "q_ngram_jaccard": (
             f"WITH sh AS (SELECT doc_id, list_distinct({sh}) AS s FROM documents) "
