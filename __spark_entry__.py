@@ -445,6 +445,46 @@ def _q_sample_mixture(spark, sf):
     ).select("doc_id", "source")
 
 
+def _q_vocab_topk(spark, sf):
+    """Corpus-wide top-100 vocabulary: one hash aggregate with map-side
+    partial aggregation (shuffle = distinct tokens, not occurrences),
+    top-k via TakeOrderedAndProject, deterministic tie-break."""
+    from named_architecture_entity_recognition_spark.operators.textstats import (
+        vocab_topk,
+    )
+
+    return vocab_topk(_read(spark, sf, "documents"), k=100)
+
+
+def _q_redact_pii(spark, sf):
+    """PII scrubbing (emails, IPv4s, phones) with per-kind hit counts —
+    dialect-neutral regexes, all codegen'd, zero shuffle. Synthetic PII
+    is appended deterministically so every rule fires on every row."""
+    from named_architecture_entity_recognition_spark.operators.textstats import (
+        redact_pii,
+    )
+
+    d = _read(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel +1 555 0100"),
+        ).alias("text"),
+    )
+    out = redact_pii(d)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        "text",
+    )
+
+
 def _q_asof_join(spark, sf):
     """Point-in-time join via union+window (ONE shuffle on the key, no
     per-key cross product): each purchase gets the user's latest click
@@ -1104,6 +1144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_prepare_corpus": _q_prepare_corpus,
         "q_repetition": _q_repetition,
         "q_sample_mixture": _q_sample_mixture,
+        "q_vocab_topk": _q_vocab_topk,
+        "q_redact_pii": _q_redact_pii,
         "q_asof_join": _q_asof_join,
         "q_ngram_jaccard": _q_ngram_jaccard,
         "q_token_count": _q_token_count,
@@ -1139,6 +1181,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": _q_sessionize,
         "q_brand_volume": _q_brand_volume,
     }
+
+
+def _redact_pii_sql() -> str:
+    """DuckDB mirror of q_redact_pii, built from the SAME pattern table
+    (operators/textstats.PII_PATTERNS) so SQL and operator cannot
+    drift. Chained CTEs replicate the in-order replace semantics."""
+    from named_architecture_entity_recognition_spark.operators.textstats import (
+        PII_PATTERNS,
+    )
+
+    sql = (
+        "WITH r0 AS (SELECT doc_id, text || ' contact u' || doc_id::VARCHAR"
+        " || '@example.com or 10.0.' || (doc_id % 256)::VARCHAR ||"
+        " '.7 tel +1 555 0100' AS text FROM documents)"
+    )
+    prev = "r0"
+    count_cols = []
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS, 1):
+        carried = ", ".join(count_cols)
+        carried = carried + ", " if carried else ""
+        sql += (
+            f", r{i} AS (SELECT doc_id, {carried}"
+            f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}, "
+            f"regexp_replace(text, '{pat}', '{repl}', 'g') AS text "
+            f"FROM {prev})"
+        )
+        prev = f"r{i}"
+        count_cols.append(f"n_{name}")
+    return sql + (
+        f" SELECT doc_id, {', '.join(count_cols)}, text FROM {prev}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1466,6 +1539,15 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25 "
             "ELSE 0.1 END)"
         ),
+        "q_vocab_topk": (
+            "WITH t AS (SELECT doc_id, "
+            f"unnest(list_filter({words}, w -> w != '')) AS token "
+            "FROM documents) "
+            "SELECT token, count(DISTINCT doc_id) AS n_docs, "
+            "count(*) AS n_occurrences FROM t GROUP BY token "
+            "ORDER BY n_occurrences DESC, token ASC LIMIT 100"
+        ),
+        "q_redact_pii": _redact_pii_sql(),
         "q_asof_join": (
             "SELECT l.event_id, l.user_id, l.ts, r.ts AS click_ts, "
             "r.value AS click_value "

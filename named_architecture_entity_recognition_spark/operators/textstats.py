@@ -226,6 +226,61 @@ def repetition_stats(
     ).drop("_nw")
 
 
+def vocab_topk(docs: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
+    """Corpus-wide top-k vocabulary: (token, n_docs, n_occurrences),
+    ordered by occurrences desc then token asc (deterministic ties).
+
+    The canonical two-level aggregation: explode tokens, then ONE hash
+    aggregate on the token — Spark's partial (map-side) aggregation
+    collapses each partition's counts before the shuffle, so shuffle
+    volume is O(distinct tokens per partition), not O(token
+    occurrences). The top-k itself is TakeOrderedAndProject (per-
+    partition heaps + driver merge of k rows), never a global sort.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    counts = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_occurrences"),
+    )
+    return counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(k)
+
+
+# Public-pattern PII regexes (ASCII classes, identical semantics in
+# Java regex and RE2/DuckDB — keep them dialect-neutral: no lookaround,
+# no \p classes).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9()\- ]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails, IPv4s and international phone numbers from the
+    text column, appending per-kind hit counts.
+
+    Entirely codegen'd regexp_replace / regexp ops — per-row, zero
+    shuffle, safe to fuse into any scan. Patterns are deliberately
+    dialect-neutral (plain ASCII classes, no lookaround) so the DuckDB
+    oracle runs the very same strings; order matters (emails first,
+    else the IP rule could eat dotted hosts inside an address).
+    """
+    c = F.col(text_col)
+    out_cols = [col for col in docs.columns if col != text_col]
+    red = c
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(red, F.lit(pat), F.lit(0))).alias(
+                f"n_{name}"
+            )
+        )
+        red = F.regexp_replace(red, pat, repl)
+    return docs.select(*out_cols, *counts, red.alias(text_col))
+
+
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return docs.select(

@@ -369,3 +369,50 @@ def test_repetition_stats_matches_python_reference(spark):
         assert rows[doc_id].top2gram_frac == top2, (doc_id, text)
         assert rows[doc_id].top3gram_frac == top3, (doc_id, text)
         assert rows[doc_id].dup5gram_frac == dup5, (doc_id, text)
+
+
+def test_vocab_topk_counts_and_tiebreak(spark):
+    from named_architecture_entity_recognition_spark.operators.textstats import (
+        vocab_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "apple")],
+        "doc_id long, text string",
+    )
+    rows = vocab_topk(docs, k=2).collect()
+    assert [(r.token, r.n_docs, r.n_occurrences) for r in rows] == [
+        ("apple", 2, 3),
+        ("banana", 2, 2),
+    ]
+    # tie on count -> token asc decides the cut deterministically
+    tied = spark.createDataFrame(
+        [(1, "zeta alpha beta")], "doc_id long, text string"
+    )
+    assert [r.token for r in vocab_topk(tied, k=2).collect()] == [
+        "alpha",
+        "beta",
+    ]
+
+
+def test_redact_pii_scrubs_and_counts(spark):
+    from named_architecture_entity_recognition_spark.operators.textstats import (
+        redact_pii,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-mail.co.uk and 192.168.1.7 call +44 (0)20-7946 0958 done"),
+            (2, "no pii here at all"),
+            (3, "two mails x@y.io y@z.org one ip 8.8.8.8"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert rows[1].n_email == 1 and rows[1].n_ipv4 == 1 and rows[1].n_phone == 1
+    assert "<EMAIL>" in rows[1].text and "<IP>" in rows[1].text
+    assert "<PHONE>" in rows[1].text
+    assert "a.b+c@x-mail.co.uk" not in rows[1].text
+    assert rows[2].text == "no pii here at all"
+    assert rows[2].n_email == rows[2].n_ipv4 == rows[2].n_phone == 0
+    assert rows[3].n_email == 2 and rows[3].n_ipv4 == 1 and rows[3].n_phone == 0
