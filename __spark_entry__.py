@@ -509,6 +509,36 @@ def _q_asof_join(spark, sf):
     )
 
 
+def _q_range_join(spark, sf):
+    """Binned interval join (ONE shuffle on (bucket, key), no nested
+    loop): each error event opens a 10-minute window; count and sum the
+    same user's events inside it. Oracle = DuckDB inequality join
+    (planned as IEJoin)."""
+    from named_architecture_entity_recognition_spark.operators.rangejoin import (
+        range_join,
+    )
+
+    ev = _read(spark, sf, "events")
+    intervals = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end"),
+    )
+    points = ev.select("event_id", "user_id", "ts", "value")
+    return (
+        range_join(points, intervals, on="user_id", bucket_s=600)
+        .groupBy(
+            F.col("error_id_i").alias("error_id"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
 def _q_ngram_jaccard(spark, sf):
     from named_architecture_entity_recognition_spark.operators.dedup import shingles
 
@@ -1147,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab_topk": _q_vocab_topk,
         "q_redact_pii": _q_redact_pii,
         "q_asof_join": _q_asof_join,
+        "q_range_join": _q_range_join,
         "q_ngram_jaccard": _q_ngram_jaccard,
         "q_token_count": _q_token_count,
         "q_quality": _q_quality,
@@ -1556,6 +1587,15 @@ def oracle_sql() -> dict[str, str]:
             "ASOF LEFT JOIN (SELECT user_id, ts, value FROM events "
             "WHERE event_type = 'click') r "
             "ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        "q_range_join": (
+            "SELECT i.event_id AS error_id, i.user_id, "
+            "count(*) AS n_events, round(sum(p.value), 4) AS sum_value "
+            "FROM (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'error') i "
+            "JOIN events p ON p.user_id = i.user_id "
+            "AND p.ts >= i.ts AND p.ts < i.ts + INTERVAL 10 MINUTE "
+            "GROUP BY i.event_id, i.user_id"
         ),
         "q_ngram_jaccard": (
             f"WITH sh AS (SELECT doc_id, list_distinct({sh}) AS s FROM documents) "
