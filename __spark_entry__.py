@@ -539,6 +539,43 @@ def _q_range_join(spark, sf):
     )
 
 
+def _q_rollup_hypertable(spark, sf):
+    """Multi-granularity continuous-aggregate rollup: raw events are
+    scanned/shuffled once at the hour grain; day and week re-aggregate
+    the finer level (ReusedExchange in the AQE plan). Oracle = one
+    date_trunc GROUP BY per grain over raw, UNION ALL — equality IS the
+    re-aggregation invariant."""
+    from named_architecture_entity_recognition_spark.operators.rollup import (
+        rollup_hypertable,
+    )
+
+    ev = _read(spark, sf, "events")
+    out = rollup_hypertable(
+        ev, keys=("event_type",), grains=("hour", "day", "week")
+    )
+    return out.select(
+        "grain",
+        "bucket",
+        "event_type",
+        "n_rows",
+        F.round("sum_value", 4).alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+def _q_kmv_distinct(spark, sf):
+    """KMV distinct-count sketch (k=64) of users per event type —
+    deterministic md5 hashing makes the whole sketch engine-portable,
+    so DuckDB recomputes the identical estimate."""
+    from named_architecture_entity_recognition_spark.operators.sketch import (
+        kmv_distinct,
+    )
+
+    ev = _read(spark, sf, "events")
+    return kmv_distinct(ev, ("event_type",), "user_id", k=64)
+
+
 def _q_ngram_jaccard(spark, sf):
     from named_architecture_entity_recognition_spark.operators.dedup import shingles
 
@@ -1178,6 +1215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_redact_pii": _q_redact_pii,
         "q_asof_join": _q_asof_join,
         "q_range_join": _q_range_join,
+        "q_rollup_hypertable": _q_rollup_hypertable,
+        "q_kmv_distinct": _q_kmv_distinct,
         "q_ngram_jaccard": _q_ngram_jaccard,
         "q_token_count": _q_token_count,
         "q_quality": _q_quality,
@@ -1596,6 +1635,26 @@ def oracle_sql() -> dict[str, str]:
             "JOIN events p ON p.user_id = i.user_id "
             "AND p.ts >= i.ts AND p.ts < i.ts + INTERVAL 10 MINUTE "
             "GROUP BY i.event_id, i.user_id"
+        ),
+        "q_rollup_hypertable": (
+            " UNION ALL ".join(
+                "SELECT '{g}' AS grain, date_trunc('{g}', ts) AS bucket, "
+                "event_type, count(*)::BIGINT AS n_rows, "
+                "round(sum(value), 4) AS sum_value, "
+                "min(value) AS min_value, max(value) AS max_value "
+                "FROM events GROUP BY 2, 3".format(g=g)
+                for g in ("hour", "day", "week")
+            )
+        ),
+        "q_kmv_distinct": (
+            "WITH h AS (SELECT DISTINCT event_type, "
+            "(('0x' || substr(md5('kmv-v1' || user_id::VARCHAR), 1, 13))"
+            "::UBIGINT + 1) / 16.0 ^ 13 AS h FROM events), "
+            "r AS (SELECT event_type, h, row_number() OVER "
+            "(PARTITION BY event_type ORDER BY h) AS rn FROM h) "
+            "SELECT event_type, CASE WHEN count(*) < 64 THEN count(*) "
+            "ELSE round(63.0 / max(h))::BIGINT END AS est_distinct "
+            "FROM r WHERE rn <= 64 GROUP BY event_type"
         ),
         "q_ngram_jaccard": (
             f"WITH sh AS (SELECT doc_id, list_distinct({sh}) AS s FROM documents) "

@@ -1,0 +1,134 @@
+"""Mergeable distinct-count sketches: KMV (k-minimum-values) and HLL.
+
+Two variants, one contract (estimate the number of distinct values per
+group with bounded state), chosen by what each is FOR:
+
+- ``kmv_*``: deterministic and **engine-portable** — the hash is
+  md5-based (same trick as operators/corpus.py), so DuckDB computes the
+  bit-identical sketch and the driver value-oracles it
+  (q_kmv_distinct). Standard error ~ 1/sqrt(k). The sketch itself is a
+  sorted array column of the k smallest hashes — a value you can store
+  in a rollup table and merge later (`kmv_merge_expr`), which is the
+  whole point of a sketch at 100 TB: pre-aggregate once, re-aggregate
+  cheaply at read time (composes with operators/rollup.py, whose
+  docstring points here for distinct counts).
+- ``hll_*``: thin wrappers over Spark's built-in Apache DataSketches
+  HLL functions (`hll_sketch_agg` / `hll_union_agg` /
+  `hll_sketch_estimate`) — the production path (JVM-side, constant
+  ~2^lgK bytes per group, streaming-friendly). Binary sketches are not
+  portable to DuckDB, so these are pytest-verified (error bound +
+  merge-of-parts == whole) rather than driver-oracled.
+
+Scale notes: the KMV build is `distinct` on (group, hash) — a map-side
+combinable hash aggregate, the same shuffle shape countDistinct uses —
+followed by a per-group top-k window over *distinct hashes only*. State
+per group is k doubles. No Python anywhere.
+
+Reference parity: the reference engine has no approximate aggregates;
+this extends the engine for corpus-scale cardinality work (e.g. distinct
+users per event type, distinct shingles per shard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 13 hex nibbles = 52 bits: every hash integer is exactly representable
+# as a double, so Spark and DuckDB round identically.
+_HASH_BITS = 13
+_HASH_DENOM = float(16**_HASH_BITS)
+
+
+def uniform_hash(col: Column, salt: str = "kmv-v1") -> Column:
+    """Deterministic uniform hash of ``col`` in (0, 1], portable to
+    DuckDB as ``(('0x' || substr(md5(salt || v), 1, 13))::UBIGINT + 1)
+    / 16.0^13``."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, _HASH_BITS),
+        16,
+        10,
+    ).cast("double")
+    return (h + F.lit(1.0)) / F.lit(_HASH_DENOM)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    col: str,
+    k: int = 256,
+    salt: str = "kmv-v1",
+) -> DataFrame:
+    """Per-``keys`` KMV sketch of distinct ``col`` values.
+
+    Output: ``*keys, sketch array<double> (sorted, len <= k)``.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    key_cols = [F.col(c) for c in keys]
+    d = df.select(*key_cols, uniform_hash(F.col(col), salt).alias("_h")).distinct()
+    w = Window.partitionBy(*key_cols).orderBy("_h")
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list("_h")).alias("sketch"))
+    )
+
+
+def kmv_estimate_expr(sketch: Column, k: int) -> Column:
+    """Distinct-count estimate from a KMV sketch column: exact
+    (= array length) while the sketch is not full, else the classic
+    (k-1)/h_(k) estimator rounded to a long."""
+    m = F.size(sketch)
+    kth = F.element_at(sketch, k)  # 1-indexed; only read when m == k
+    return F.when(m < k, m.cast("long")).otherwise(
+        F.round(F.lit(float(k - 1)) / kth).cast("long")
+    )
+
+
+def kmv_merge_expr(sketches: Column, k: int) -> Column:
+    """Merge an array of KMV sketches (e.g. from collect_list over a
+    finer rollup level) into one: union distinct hashes, keep the k
+    smallest. Pure Catalyst — usable inside any agg."""
+    return F.slice(F.array_sort(F.array_distinct(F.flatten(sketches))), 1, k)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    col: str,
+    k: int = 256,
+    salt: str = "kmv-v1",
+) -> DataFrame:
+    """Convenience: ``*keys, est_distinct long`` via kmv_sketch."""
+    sk = kmv_sketch(df, keys, col, k, salt)
+    return sk.select(
+        *[F.col(c) for c in keys],
+        kmv_estimate_expr(F.col("sketch"), k).alias("est_distinct"),
+    )
+
+
+def hll_sketch(
+    df: DataFrame, keys: tuple[str, ...], col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-``keys`` DataSketches HLL sketch (binary column ``sketch``).
+    Store it in rollup tables; merge with :func:`hll_union_estimate`."""
+    return df.groupBy(*[F.col(c) for c in keys]).agg(
+        F.hll_sketch_agg(F.col(col).cast("string"), F.lit(lg_k)).alias("sketch")
+    )
+
+
+def hll_union_estimate(
+    sketches: DataFrame, keys: tuple[str, ...] = ()
+) -> DataFrame:
+    """Merge sketches (optionally re-grouped by a coarser ``keys``) and
+    estimate: ``*keys, est_distinct long``."""
+    key_cols = [F.col(c) for c in keys]
+    merged = sketches.groupBy(*key_cols).agg(
+        F.hll_union_agg("sketch").alias("sketch")
+    )
+    return merged.select(
+        *key_cols,
+        F.hll_sketch_estimate("sketch").cast("long").alias("est_distinct"),
+    )
