@@ -576,6 +576,59 @@ def _q_kmv_distinct(spark, sf):
     return kmv_distinct(ev, ("event_type",), "user_id", k=64)
 
 
+def _q_profile_table(spark, sf):
+    """One-pass per-column profiler over events (single scan, single
+    aggregate — plan-audited in tests/test_profile.py). The oracle
+    recomputes every deterministic metric per column; the HLL
+    n_distinct_approx column is projected out (bounded in pytest
+    instead)."""
+    from named_architecture_entity_recognition_spark.operators.profile import (
+        profile_table,
+    )
+
+    ev = _read(spark, sf, "events")
+    out = profile_table(ev, ["event_id", "user_id", "value", "event_type"])
+    return out.select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        "min",
+        "max",
+        F.round("mean", 4).alias("mean"),
+        F.round("stddev", 4).alias("stddev"),
+        F.transform("quantiles", lambda x: F.round(x, 4)).alias("quantiles"),
+        F.round("avg_len", 4).alias("avg_len"),
+    )
+
+
+def _q_cdc_latest(spark, sf):
+    """Latest-version-per-key changelog compaction via max_by hash
+    aggregate (map-side combine; no window sort — plan-audited in
+    tests/test_cdc.py). events as the changelog, user_id as the key,
+    event_id as the deterministic tie-break."""
+    from named_architecture_entity_recognition_spark.operators.cdc import (
+        latest_snapshot,
+    )
+
+    ev = _read(spark, sf, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    return latest_snapshot(ev, "user_id", "ts", "event_id")
+
+
+def _q_scd2_history(spark, sf):
+    """SCD2 validity intervals: every event version gets
+    [effective_from, effective_to) via lead(ts) per user."""
+    from named_architecture_entity_recognition_spark.operators.cdc import (
+        scd2_history,
+    )
+
+    ev = _read(spark, sf, "events").select("user_id", "event_id", "ts")
+    return scd2_history(ev, "user_id", "ts", "event_id").select(
+        "user_id", "event_id", "effective_from", "effective_to", "is_current"
+    )
+
+
 def _q_ngram_jaccard(spark, sf):
     from named_architecture_entity_recognition_spark.operators.dedup import shingles
 
@@ -1217,6 +1270,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": _q_range_join,
         "q_rollup_hypertable": _q_rollup_hypertable,
         "q_kmv_distinct": _q_kmv_distinct,
+        "q_profile_table": _q_profile_table,
+        "q_cdc_latest": _q_cdc_latest,
+        "q_scd2_history": _q_scd2_history,
         "q_ngram_jaccard": _q_ngram_jaccard,
         "q_token_count": _q_token_count,
         "q_quality": _q_quality,
@@ -1655,6 +1711,38 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CASE WHEN count(*) < 64 THEN count(*) "
             "ELSE round(63.0 / max(h))::BIGINT END AS est_distinct "
             "FROM r WHERE rn <= 64 GROUP BY event_type"
+        ),
+        "q_profile_table": (
+            " UNION ALL ".join(
+                'SELECT \'{c}\' AS "column", count(*)::BIGINT AS n_rows, '
+                "(count(*) - count({c}))::BIGINT AS n_nulls, "
+                "min({c})::DOUBLE AS min, max({c})::DOUBLE AS max, "
+                "round(avg({c}), 4) AS mean, "
+                "round(stddev_samp({c}), 4) AS stddev, "
+                "list_transform(quantile_cont({c}::DOUBLE, "
+                "[0.05, 0.25, 0.5, 0.75, 0.95]), x -> round(x, 4)) "
+                "AS quantiles, NULL::DOUBLE AS avg_len FROM events".format(c=c)
+                for c in ("event_id", "user_id", "value")
+            )
+            + " UNION ALL "
+            "SELECT 'event_type', count(*)::BIGINT, "
+            "(count(*) - count(event_type))::BIGINT, NULL::DOUBLE, "
+            "NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE[], "
+            "round(avg(length(event_type)), 4) FROM events"
+        ),
+        "q_cdc_latest": (
+            "SELECT user_id, event_id, ts, event_type, value FROM ("
+            "SELECT user_id, event_id, ts, event_type, value, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+            "WHERE rn = 1"
+        ),
+        "q_scd2_history": (
+            "SELECT user_id, event_id, ts AS effective_from, "
+            "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS effective_to, "
+            "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "IS NULL AS is_current FROM events"
         ),
         "q_ngram_jaccard": (
             f"WITH sh AS (SELECT doc_id, list_distinct({sh}) AS s FROM documents) "
