@@ -629,6 +629,33 @@ def _q_scd2_history(spark, sf):
     )
 
 
+def _q_stable_row_ids(spark, sf):
+    """Consecutive global ids without a single-partition sort of raw
+    rows (range partition + per-partition numbering + tiny offset agg;
+    plan-audited in tests/test_ids.py). Oracle = the naive global
+    row_number the operator replaces at scale."""
+    from named_architecture_entity_recognition_spark.operators.ids import (
+        stable_row_ids,
+    )
+
+    d = _read(spark, sf, "documents").select("doc_id")
+    return stable_row_ids(d, "doc_id")
+
+
+def _q_stratified_sample(spark, sf):
+    """Exactly 20 docs per source stratum by md5 hash order — a
+    deterministic, engine-portable uniform sample for fixed-size eval
+    sets."""
+    from named_architecture_entity_recognition_spark.operators.corpus import (
+        stratified_sample_exact,
+    )
+
+    d = _read(spark, sf, "documents")
+    return stratified_sample_exact(d, 20, key_col="source").select(
+        "doc_id", "source"
+    )
+
+
 def _q_ngram_jaccard(spark, sf):
     from named_architecture_entity_recognition_spark.operators.dedup import shingles
 
@@ -1273,6 +1300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_profile_table": _q_profile_table,
         "q_cdc_latest": _q_cdc_latest,
         "q_scd2_history": _q_scd2_history,
+        "q_stable_row_ids": _q_stable_row_ids,
+        "q_stratified_sample": _q_stratified_sample,
         "q_ngram_jaccard": _q_ngram_jaccard,
         "q_token_count": _q_token_count,
         "q_quality": _q_quality,
@@ -1743,6 +1772,17 @@ def oracle_sql() -> dict[str, str]:
             "AS effective_to, "
             "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "IS NULL AS is_current FROM events"
+        ),
+        "q_stable_row_ids": (
+            "SELECT doc_id, (row_number() OVER (ORDER BY doc_id) - 1)"
+            "::BIGINT AS row_id FROM documents"
+        ),
+        "q_stratified_sample": (
+            "SELECT doc_id, source FROM ("
+            "SELECT doc_id, source, row_number() OVER ("
+            "PARTITION BY source "
+            "ORDER BY md5('strat-v1' || doc_id::VARCHAR), doc_id) AS rn "
+            "FROM documents) WHERE rn <= 20"
         ),
         "q_ngram_jaccard": (
             f"WITH sh AS (SELECT doc_id, list_distinct({sh}) AS s FROM documents) "

@@ -182,6 +182,41 @@ def sample_mixture(
     return docs.where(frac < rate)
 
 
+def stratified_sample_exact(
+    docs: DataFrame,
+    k: int,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "strat-v1",
+) -> DataFrame:
+    """Exactly ``min(k, stratum size)`` rows per ``key_col`` stratum:
+    the k rows with the smallest ``md5(salt || id)`` — a deterministic
+    stand-in for uniform-without-replacement sampling (the hash order is
+    uniform and engine-portable, so DuckDB reproduces the identical
+    sample; 32-char lowercase hex compares identically as string and as
+    number, no conv needed).
+
+    Unlike :func:`sample_mixture` (rate-based, shuffle-free,
+    backfill-stable) this guarantees an exact count — the right tool for
+    fixed-size eval/calibration sets — at the price of one rank window
+    per stratum and of backfills shifting the sample (a new doc with a
+    small hash evicts the current k-th). A single hot stratum sorts on
+    one reducer; at extreme skew pre-thin with sample_mixture at rate
+    ~10k/stratum_size first, then take the exact k from the survivors
+    (hash order is preserved under thinning, so the composition yields
+    the same k rows whenever the thinning keeps them).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(key_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def token_count(col) -> Column:
     """Whitespace token count (textstats-compatible)."""
     c = F.col(col) if isinstance(col, str) else col
