@@ -456,6 +456,21 @@ def _q_vocab_topk(spark, sf):
     return vocab_topk(_read(spark, sf, "documents"), k=100)
 
 
+def _q_bm25_topk(spark, sf):
+    """BM25 ranked retrieval over the corpus for a 3-term query: the
+    inverted-index build is ONE partial-agg groupBy; the query touches
+    only the broadcast-semi-joined postings sliver; top-k is
+    TakeOrderedAndProject. Oracle re-derives the identical scores in
+    DuckDB (same tokenizer, same Lucene-style +1 idf)."""
+    from named_architecture_entity_recognition_spark.operators.search import (
+        search_topk,
+    )
+
+    return search_topk(
+        _read(spark, sf, "documents"), ["hash", "join", "vector"], k=10
+    )
+
+
 def _q_redact_pii(spark, sf):
     """PII scrubbing (emails, IPv4s, phones) with per-kind hit counts —
     dialect-neutral regexes, all codegen'd, zero shuffle. Synthetic PII
@@ -1292,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition": _q_repetition,
         "q_sample_mixture": _q_sample_mixture,
         "q_vocab_topk": _q_vocab_topk,
+        "q_bm25_topk": _q_bm25_topk,
         "q_redact_pii": _q_redact_pii,
         "q_asof_join": _q_asof_join,
         "q_range_join": _q_range_join,
@@ -1701,6 +1717,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, count(DISTINCT doc_id) AS n_docs, "
             "count(*) AS n_occurrences FROM t GROUP BY token "
             "ORDER BY n_occurrences DESC, token ASC LIMIT 100"
+        ),
+        "q_bm25_topk": (
+            "WITH tok AS (SELECT doc_id, "
+            f"len(list_filter({words}, w -> w != '')) AS dl, "
+            f"list_filter({words}, w -> w != '') AS toks FROM documents), "
+            "p AS (SELECT term, doc_id, dl, count(*) AS tf FROM "
+            "(SELECT doc_id, dl, unnest(toks) AS term FROM tok) "
+            "WHERE term IN ('hash','join','vector') "
+            "GROUP BY term, doc_id, dl), "
+            "s AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM tok), "
+            "d AS (SELECT term, count(*) AS df FROM p GROUP BY term) "
+            "SELECT doc_id, round(sum("
+            "ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) "
+            "* (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))"
+            "), 4) AS score "
+            "FROM p JOIN d USING (term) CROSS JOIN s "
+            "GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10"
         ),
         "q_redact_pii": _redact_pii_sql(),
         "q_asof_join": (
