@@ -471,6 +471,24 @@ def _q_bm25_topk(spark, sf):
     )
 
 
+def _q_zorder_key(spark, sf):
+    """Morton (Z-order) clustering key over (l_partkey, l_suppkey):
+    exact fixed-width buckets of one broadcast min/max row, then a pure
+    codegen'd bit-interleave — the key cluster_by_zorder range-sorts by
+    so parquet footer stats prune on BOTH dimensions. Oracle rebuilds
+    the identical bucket + bit math in DuckDB."""
+    from named_architecture_entity_recognition_spark.operators.layout import (
+        zorder_key,
+    )
+
+    li = _read(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return zorder_key(li, ["l_partkey", "l_suppkey"], bits=8).select(
+        "l_orderkey", "l_linenumber", "z"
+    )
+
+
 def _q_redact_pii(spark, sf):
     """PII scrubbing (emails, IPv4s, phones) with per-kind hit counts —
     dialect-neutral regexes, all codegen'd, zero shuffle. Synthetic PII
@@ -1308,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sample_mixture": _q_sample_mixture,
         "q_vocab_topk": _q_vocab_topk,
         "q_bm25_topk": _q_bm25_topk,
+        "q_zorder_key": _q_zorder_key,
         "q_redact_pii": _q_redact_pii,
         "q_asof_join": _q_asof_join,
         "q_range_join": _q_range_join,
@@ -1734,6 +1753,23 @@ def oracle_sql() -> dict[str, str]:
             "), 4) AS score "
             "FROM p JOIN d USING (term) CROSS JOIN s "
             "GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10"
+        ),
+        "q_zorder_key": (
+            "WITH s AS (SELECT min(l_partkey)::DOUBLE AS lo0, "
+            "max(l_partkey)::DOUBLE AS hi0, min(l_suppkey)::DOUBLE AS lo1, "
+            "max(l_suppkey)::DOUBLE AS hi1 FROM lineitem), "
+            "b AS (SELECT l_orderkey, l_linenumber, "
+            "floor((l_partkey::DOUBLE - lo0) * 256.0 / (hi0 - lo0 + 1.0))"
+            "::BIGINT AS b0, "
+            "floor((l_suppkey::DOUBLE - lo1) * 256.0 / (hi1 - lo1 + 1.0))"
+            "::BIGINT AS b1 FROM lineitem CROSS JOIN s) "
+            "SELECT l_orderkey, l_linenumber, ("
+            + " | ".join(
+                f"(((b{j} >> {i}) & 1) << {i * 2 + j})"
+                for i in range(8)
+                for j in (0, 1)
+            )
+            + ") AS z FROM b"
         ),
         "q_redact_pii": _redact_pii_sql(),
         "q_asof_join": (
