@@ -489,6 +489,47 @@ def _q_zorder_key(spark, sf):
     )
 
 
+def _q_pagerank(spark, sf):
+    """PageRank (10 fixed iterations, d=0.85) over the part->supplier
+    graph: per iteration ONE partial-agg contribution shuffle; static
+    edge frame checkpointed once; DuckDB oracle unrolls the identical
+    recurrence 10 times (rank rounded to 6 to absorb sum-order float
+    noise)."""
+    from named_architecture_entity_recognition_spark.operators.graph import pagerank
+
+    e = _read(spark, sf, "lineitem").select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return pagerank(e, damping=0.85, iterations=10)
+
+
+def _pagerank_sql() -> str:
+    """Unrolled 10-iteration PageRank recurrence (same math, same
+    rounding as operators/graph.py pagerank)."""
+    steps = []
+    prev = "r0"
+    for t in range(1, 11):
+        steps.append(
+            f"r{t} AS (SELECT nd.node, 0.15/(SELECT n FROM nn) + "
+            "0.85 * coalesce(c.s, 0.0) AS rank FROM nodes nd "
+            f"LEFT JOIN (SELECT e.dst AS node, sum({prev}.rank / od.outdeg) "
+            f"AS s FROM e JOIN {prev} ON {prev}.node = e.src "
+            "JOIN od ON od.src = e.src GROUP BY e.dst) c USING (node))"
+        )
+        prev = f"r{t}"
+    return (
+        "WITH e AS (SELECT DISTINCT 'p' || l_partkey::VARCHAR AS src, "
+        "'s' || l_suppkey::VARCHAR AS dst FROM lineitem), "
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), "
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM nodes), "
+        "od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src), "
+        "r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes), "
+        + ", ".join(steps)
+        + f" SELECT node, round(rank, 6) AS rank FROM {prev}"
+    )
+
+
 def _q_redact_pii(spark, sf):
     """PII scrubbing (emails, IPv4s, phones) with per-kind hit counts —
     dialect-neutral regexes, all codegen'd, zero shuffle. Synthetic PII
@@ -1327,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab_topk": _q_vocab_topk,
         "q_bm25_topk": _q_bm25_topk,
         "q_zorder_key": _q_zorder_key,
+        "q_pagerank": _q_pagerank,
         "q_redact_pii": _q_redact_pii,
         "q_asof_join": _q_asof_join,
         "q_range_join": _q_range_join,
@@ -1771,6 +1813,7 @@ def oracle_sql() -> dict[str, str]:
             )
             + ") AS z FROM b"
         ),
+        "q_pagerank": _pagerank_sql(),
         "q_redact_pii": _redact_pii_sql(),
         "q_asof_join": (
             "SELECT l.event_id, l.user_id, l.ts, r.ts AS click_ts, "

@@ -1,0 +1,77 @@
+"""PageRank (operators/graph.py)."""
+
+import pytest
+
+from named_architecture_entity_recognition_spark.operators.graph import (
+    pagerank,
+    triple_edges,
+)
+
+
+def _expected(edges, d=0.85, iters=10):
+    """Plain-python power iteration of the documented recurrence."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    e = sorted(set(edges))
+    out = {}
+    for u, _ in e:
+        out[u] = out.get(u, 0) + 1
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        contrib = {}
+        for u, v in e:
+            contrib[v] = contrib.get(v, 0.0) + r[u] / out[u]
+        r = {v: (1 - d) / n + d * contrib.get(v, 0.0) for v in nodes}
+    return {v: round(x, 6) for v, x in r.items()}
+
+
+def test_pagerank_matches_power_iteration(spark):
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"), ("d", "a"),
+        ("d", "b"), ("e", "a"), ("a", "c"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(df, iterations=10).collect()}
+    exp = _expected(edges)
+    assert got == pytest.approx(exp, abs=2e-6)
+
+
+def test_pagerank_hub_dominates_and_dup_edges_ignored(spark):
+    star = [(f"leaf{i}", "hub") for i in range(20)]
+    df = spark.createDataFrame(star + star, "src string, dst string")
+    ranks = {r.node: r.rank for r in pagerank(df, iterations=5).collect()}
+    assert max(ranks, key=ranks.get) == "hub"
+    assert ranks == pytest.approx(_expected(star, iters=5), abs=2e-6)
+
+
+def test_pagerank_tol_early_exit_on_cycle(spark):
+    """A cycle keeps the uniform distribution fixed, so delta == 0
+    after the first iteration: tol must stop the loop immediately."""
+    cyc = [(f"n{i}", f"n{(i + 1) % 6}") for i in range(6)]
+    df = spark.createDataFrame(cyc, "src string, dst string")
+    stats = {}
+    got = {
+        r.node: r.rank
+        for r in pagerank(df, iterations=50, tol=1e-12, stats=stats).collect()
+    }
+    assert stats["iterations"] == 1
+    assert got == pytest.approx({f"n{i}": round(1 / 6, 6) for i in range(6)})
+
+
+def test_pagerank_partition_invariance_and_empty(spark):
+    edges = [(f"u{i % 13}", f"u{(i * 7) % 13}") for i in range(60) if i % 13 != (i * 7) % 13]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = {r.node: r.rank for r in pagerank(df, iterations=6).collect()}
+    b = {r.node: r.rank for r in pagerank(df.repartition(17), iterations=6).collect()}
+    assert a == b
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty).count() == 0
+
+
+def test_triple_edges_shape(spark):
+    t = spark.createDataFrame(
+        [("e1", "occursIn", "s1"), ("e2", "sameAs", "e1")],
+        "subj string, pred string, obj string",
+    )
+    got = {(r.src, r.dst) for r in triple_edges(t).collect()}
+    assert got == {("e1", "s1"), ("e2", "e1")}
