@@ -530,6 +530,20 @@ def _pagerank_sql() -> str:
     )
 
 
+def _q_funnel_levels(spark, sf):
+    """view->click->purchase funnel within 1h: greedy earliest-next
+    chain joins (exact by exchange argument), all keyed on user_id so
+    one hash partitioning serves the whole chain. Oracle mirrors the
+    joins in DuckDB."""
+    from named_architecture_entity_recognition_spark.operators.funnel import (
+        funnel_levels,
+    )
+
+    return funnel_levels(
+        _read(spark, sf, "events"), ["view", "click", "purchase"], 3600.0
+    )
+
+
 def _q_redact_pii(spark, sf):
     """PII scrubbing (emails, IPv4s, phones) with per-kind hit counts —
     dialect-neutral regexes, all codegen'd, zero shuffle. Synthetic PII
@@ -1369,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_topk": _q_bm25_topk,
         "q_zorder_key": _q_zorder_key,
         "q_pagerank": _q_pagerank,
+        "q_funnel_levels": _q_funnel_levels,
         "q_redact_pii": _q_redact_pii,
         "q_asof_join": _q_asof_join,
         "q_range_join": _q_range_join,
@@ -1814,6 +1829,26 @@ def oracle_sql() -> dict[str, str]:
             + ") AS z FROM b"
         ),
         "q_pagerank": _pagerank_sql(),
+        "q_funnel_levels": (
+            "WITH s1 AS (SELECT user_id, ts AS t1 FROM events "
+            "WHERE event_type = 'view'), "
+            "s2 AS (SELECT user_id, ts AS t2 FROM events "
+            "WHERE event_type = 'click'), "
+            "s3 AS (SELECT user_id, ts AS t3 FROM events "
+            "WHERE event_type = 'purchase'), "
+            "c2 AS (SELECT s1.user_id, t1, min(t2) AS t2 FROM s1 "
+            "LEFT JOIN s2 ON s2.user_id = s1.user_id AND s2.t2 > s1.t1 "
+            "GROUP BY s1.user_id, t1), "
+            "c3 AS (SELECT c2.user_id, t1, t2, min(t3) AS t3 FROM c2 "
+            "LEFT JOIN s3 ON s3.user_id = c2.user_id AND s3.t3 > c2.t2 "
+            "GROUP BY c2.user_id, t1, t2), "
+            "lv AS (SELECT user_id, 1 + ok2 + ok2 * ok3 AS lvl FROM ("
+            "SELECT user_id, "
+            "(t2 IS NOT NULL AND epoch(t2) - epoch(t1) <= 3600)::INT AS ok2, "
+            "(t3 IS NOT NULL AND epoch(t3) - epoch(t1) <= 3600)::INT AS ok3 "
+            "FROM c3)) "
+            "SELECT user_id, max(lvl)::INT AS level FROM lv GROUP BY user_id"
+        ),
         "q_redact_pii": _redact_pii_sql(),
         "q_asof_join": (
             "SELECT l.event_id, l.user_id, l.ts, r.ts AS click_ts, "

@@ -1,0 +1,98 @@
+"""Ordered event-sequence (funnel) analysis over the events stream.
+
+``funnel_levels(events, steps, window_s)``: for each user, the deepest
+funnel prefix step_1 < step_2 < ... < step_k (strictly increasing event
+time, types in order) completable with total span ``ts_k - ts_1 <=
+window_s``. The standard product-analytics question ("how many users
+viewed, then clicked, then purchased within an hour?") — ClickHouse
+ships it as ``windowFunnel``; here it is derived from first principles
+as a chain of greedy earliest-next joins:
+
+    t2(e1) = min{ts of a step-2 event of the same user with ts > t1}
+    t3(e1) = min{ts of a step-3 event with ts > t2(e1)}            ...
+
+Greedy earliest-next is *exact*, not a heuristic: for a fixed start
+event, taking the earliest valid next event can only leave more room
+for the remaining steps (exchange argument), so a chain within the
+window exists iff the greedy chain from some start is within the
+window. That makes the semantics deterministic and lets the DuckDB
+oracle (q_funnel_levels) reproduce the result with the same joins.
+
+Scale shape: every join keys on (user_id [+ chain timestamp]), so the
+whole funnel is computed inside one hash-partitioning by user — Spark
+reuses the exchange across the chained joins (AQE coalesces the tiny
+sides). Fan-out is bounded by per-user-per-type event counts, not by
+|events|^2: step_i rows join only same-user step_{i+1} rows. Power
+users (the skew case) are exactly the `operators/skew.py` salting /
+AQE skew-join story; funnels beyond ~5 steps should pre-aggregate
+each user's per-type sorted timestamps instead (one groupBy, then a
+per-row array scan).
+
+Reference parity: beyond-reference capability (events table only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_levels(
+    events: DataFrame,
+    steps: list[str],
+    window_s: float,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """-> (user_id, level): max funnel prefix depth (1..len(steps))
+    reachable within ``window_s`` seconds of the chain's first event.
+    Users with no step-1 event are absent (level 0)."""
+    if len(steps) < 2:
+        raise ValueError("funnel needs >= 2 steps")
+    by_type = [
+        events.filter(F.col(type_col) == s).select(
+            F.col(user_col).alias("user_id"),
+            F.col(ts_col).cast("timestamp").alias(f"t{i + 1}"),
+        )
+        for i, s in enumerate(steps)
+    ]
+    # chains[i] = one row per step-1 event with its greedy chain through
+    # step i+1 (t_{j+1} = earliest step-(j+1) ts after t_j); left joins
+    # keep partial chains so the level CASE below sees them
+    chain = by_type[0]
+    for i in range(1, len(steps)):
+        nxt = by_type[i]
+        chain = (
+            chain.join(
+                nxt,
+                (chain.user_id == nxt.user_id)
+                & (F.col(f"t{i + 1}") > F.col(f"t{i}")),
+                "left",
+            )
+            .drop(nxt.user_id)
+            .groupBy("user_id", *[f"t{j + 1}" for j in range(i)])
+            .agg(F.min(f"t{i + 1}").alias(f"t{i + 1}"))
+        )
+    span_ok = [
+        (
+            F.col(f"t{i + 1}").isNotNull()
+            & (
+                F.col(f"t{i + 1}").cast("double") - F.col("t1").cast("double")
+                <= window_s
+            )
+        ).cast("int")
+        for i in range(1, len(steps))
+    ]
+    # level of one start event = 1 + deepest consecutive-ok prefix;
+    # products of the 0/1 flags give the consecutive-prefix semantics
+    level = F.lit(1)
+    prefix = F.lit(1)
+    for ok in span_ok:
+        prefix = prefix * ok
+        level = level + prefix
+    return (
+        chain.withColumn("_lvl", level)
+        .groupBy("user_id")
+        .agg(F.max("_lvl").cast("int").alias("level"))
+    )
