@@ -544,6 +544,16 @@ def _q_funnel_levels(spark, sf):
     )
 
 
+def _q_cohort_retention(spark, sf):
+    """Weekly cohort retention triangle: first-seen agg + join share
+    one user_id partitioning; final (cohort, period) agg is tiny."""
+    from named_architecture_entity_recognition_spark.operators.funnel import (
+        cohort_retention,
+    )
+
+    return cohort_retention(_read(spark, sf, "events"))
+
+
 def _q_redact_pii(spark, sf):
     """PII scrubbing (emails, IPv4s, phones) with per-kind hit counts —
     dialect-neutral regexes, all codegen'd, zero shuffle. Synthetic PII
@@ -1384,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_key": _q_zorder_key,
         "q_pagerank": _q_pagerank,
         "q_funnel_levels": _q_funnel_levels,
+        "q_cohort_retention": _q_cohort_retention,
         "q_redact_pii": _q_redact_pii,
         "q_asof_join": _q_asof_join,
         "q_range_join": _q_range_join,
@@ -1829,6 +1840,16 @@ def oracle_sql() -> dict[str, str]:
             + ") AS z FROM b"
         ),
         "q_pagerank": _pagerank_sql(),
+        "q_cohort_retention": (
+            "WITH f AS (SELECT user_id AS u, min(date_trunc('week', ts)) "
+            "AS cohort FROM events GROUP BY user_id) "
+            "SELECT cohort::DATE AS cohort, "
+            "floor(date_diff('day', cohort::DATE, "
+            "date_trunc('week', ts)::DATE) / 7)::INT AS period, "
+            "count(DISTINCT user_id) AS n_users "
+            "FROM events JOIN f ON f.u = events.user_id "
+            "GROUP BY 1, 2"
+        ),
         "q_funnel_levels": (
             "WITH s1 AS (SELECT user_id, ts AS t1 FROM events "
             "WHERE event_type = 'view'), "

@@ -96,3 +96,42 @@ def funnel_levels(
         .groupBy("user_id")
         .agg(F.max("_lvl").cast("int").alias("level"))
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: (cohort, period, n_users) where cohort
+    = Monday of the user's first-ever event week, period = whole weeks
+    between that and the activity week, n_users = distinct users from
+    the cohort active in that period.
+
+    Scale shape: the first-seen aggregate and the events⨝first join
+    both hash-partition on the user column — one exchange serves both
+    (AQE reuses it); the final (cohort, period) aggregate is a
+    partial-agg shuffle over a tiny key space. countDistinct is exact
+    here; swap in the KMV/HLL sketches (`operators/sketch.py`) when
+    cohorts outgrow per-key memory.
+    """
+    u = F.col(user_col)
+    week = F.date_trunc("week", F.col(ts_col))
+    first = events.groupBy(u.alias("_u")).agg(
+        F.min(week).alias("_cohort")
+    )
+    return (
+        events.join(first, u == F.col("_u"))
+        .select(
+            u.alias("_user"),
+            F.col("_cohort").cast("date").alias("cohort"),
+            F.floor(
+                F.datediff(week.cast("date"), F.col("_cohort").cast("date"))
+                / 7
+            )
+            .cast("int")
+            .alias("period"),
+        )
+        .groupBy("cohort", "period")
+        .agg(F.countDistinct("_user").alias("n_users"))
+    )

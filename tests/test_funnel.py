@@ -5,6 +5,7 @@ from datetime import datetime, timedelta
 import pytest
 
 from named_architecture_entity_recognition_spark.operators.funnel import (
+    cohort_retention,
     funnel_levels,
 )
 
@@ -73,6 +74,27 @@ def test_funnel_two_steps_and_validation(spark):
     assert _levels(df, steps=("view", "click")) == {"u1": 2}
     with pytest.raises(ValueError, match=">= 2 steps"):
         funnel_levels(df, ["view"], 60.0)
+
+
+def test_cohort_retention_triangle(spark):
+    # 2026-01-01 is a Thursday; that week's Monday is 2025-12-29.
+    # u1 first seen week 0, active weeks 0 and 2; u2 week 0 only;
+    # u3 first seen week 1, active weeks 1 and 2 (period 0 and 1).
+    df = _ev(spark, [
+        ("u1", "view", 0), ("u1", "view", 14 * 86400),
+        ("u2", "view", 3600),
+        ("u3", "view", 7 * 86400), ("u3", "view", 14 * 86400),
+    ])
+    got = {
+        (str(r.cohort), r.period): r.n_users
+        for r in cohort_retention(df).collect()
+    }
+    assert got == {
+        ("2025-12-29", 0): 2,
+        ("2025-12-29", 2): 1,
+        ("2026-01-05", 0): 1,
+        ("2026-01-05", 1): 1,
+    }
 
 
 def test_funnel_single_user_partitioning_invariance(spark):
