@@ -554,6 +554,25 @@ def _q_cohort_retention(spark, sf):
     return cohort_retention(_read(spark, sf, "events"))
 
 
+def _q_heavy_hitters(spark, sf):
+    """Misra-Gries heavy hitters over corpus tokens: bounded state per
+    partition (k counters), shuffle carries <= partitions x (k+1)
+    rows regardless of distinct-term count. k=64 exceeds this corpus's
+    vocabulary, so nothing is decremented and DuckDB can value-check
+    the exact regime; the approximation bound is property-tested."""
+    from named_architecture_entity_recognition_spark.operators.sketch import (
+        heavy_hitters,
+    )
+    from named_architecture_entity_recognition_spark.operators.textstats import (
+        tokens,
+    )
+
+    toks = _read(spark, sf, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    )
+    return heavy_hitters(toks, k=64)
+
+
 def _q_redact_pii(spark, sf):
     """PII scrubbing (emails, IPv4s, phones) with per-kind hit counts —
     dialect-neutral regexes, all codegen'd, zero shuffle. Synthetic PII
@@ -1395,6 +1414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank": _q_pagerank,
         "q_funnel_levels": _q_funnel_levels,
         "q_cohort_retention": _q_cohort_retention,
+        "q_heavy_hitters": _q_heavy_hitters,
         "q_redact_pii": _q_redact_pii,
         "q_asof_join": _q_asof_join,
         "q_range_join": _q_range_join,
@@ -1840,6 +1860,14 @@ def oracle_sql() -> dict[str, str]:
             + ") AS z FROM b"
         ),
         "q_pagerank": _pagerank_sql(),
+        "q_heavy_hitters": (
+            "WITH t AS (SELECT "
+            f"unnest(list_filter({words}, w -> w != '')) AS term "
+            "FROM documents) "
+            "SELECT term, count(*) AS count_lo, count(*) AS count_hi "
+            "FROM t GROUP BY term "
+            "ORDER BY count_lo DESC, term ASC LIMIT 64"
+        ),
         "q_cohort_retention": (
             "WITH f AS (SELECT user_id AS u, min(date_trunc('week', ts)) "
             "AS cohort FROM events GROUP BY user_id) "

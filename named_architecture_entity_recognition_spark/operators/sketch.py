@@ -132,3 +132,84 @@ def hll_union_estimate(
         *key_cols,
         F.hll_sketch_estimate("sketch").cast("long").alias("est_distinct"),
     )
+
+
+def heavy_hitters(values: DataFrame, col: str = "term", k: int = 64) -> DataFrame:
+    """Approximate top-``k`` heavy hitters via mergeable Misra-Gries
+    summaries: (term, count_lo, count_hi) with the MG guarantee
+    ``count_lo <= true_count <= count_hi``; any term whose true count
+    exceeds the published error ``count_hi - count_lo`` survives into
+    the merged summary with ``count_lo >= true - err`` (and err <=
+    N/(k+1)), so it ranks into the top-k unless k rarer-but-luckier
+    terms all out-count it — the usual MG top-k caveat.
+
+    This is the 100 TB complement to textstats.vocab_topk: the exact
+    top-k needs a shuffle keyed on EVERY distinct term; here each
+    partition keeps at most k counters (batched MG: merge each Arrow
+    batch's value_counts, then on overflow subtract the (k+1)-th
+    largest count from all and drop non-positives — Agarwal et al.'s
+    mergeable-summaries compression), so the shuffle carries at most
+    partitions x (k+1) rows no matter how many distinct terms exist.
+    The per-partition decrement total rides along as a term=NULL row;
+    its global sum is the error bound published as count_hi - count_lo.
+
+    Python is Arrow-batched and vectorized (pandas value_counts +
+    numpy partition); per-Python-call work is O(distinct terms in
+    batch), never per-row. The final merge is a tiny aggregate; the
+    single-partition window computing the global error bound sees only
+    the summary rows. With ``k`` >= the true distinct count nothing is
+    ever decremented and the result is exact — the driver oracle
+    (q_heavy_hitters) runs in that regime so DuckDB can value-check it;
+    the approximation guarantee itself is property-tested in pytest.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def mg(batches):
+        from collections import Counter
+
+        import numpy as np
+        import pandas as pd
+
+        counts: Counter = Counter()
+        err = 0
+        for pdf in batches:
+            counts.update(pdf[col].dropna().value_counts().to_dict())
+            if len(counts) > k:
+                arr = np.fromiter(counts.values(), np.int64)
+                thr = int(np.partition(arr, arr.size - k - 1)[arr.size - k - 1])
+                if thr > 0:
+                    err += thr
+                    counts = Counter(
+                        {t: c - thr for t, c in counts.items() if c > thr}
+                    )
+        terms = list(counts.keys())
+        yield pd.DataFrame(
+            {"term": terms + [None], "cnt": [counts[t] for t in terms] + [err]}
+        )
+
+    summaries = values.select(F.col(col).alias(col)).mapInPandas(
+        mg, "term string, cnt long"
+    )
+    # global error bound: single-partition window over the tiny summary
+    # rows only (<= partitions x (k+1)); raw data never sees it
+    w = Window.partitionBy()
+    s2 = summaries.withColumn(
+        "_err",
+        F.coalesce(
+            F.sum(F.when(F.col("term").isNull(), F.col("cnt"))).over(w),
+            F.lit(0),
+        ),
+    )
+    return (
+        s2.filter(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.sum("cnt").alias("count_lo"), F.max("_err").alias("_e"))
+        .select(
+            "term",
+            "count_lo",
+            (F.col("count_lo") + F.col("_e")).alias("count_hi"),
+        )
+        .orderBy(F.desc("count_lo"), F.asc("term"))
+        .limit(k)
+    )

@@ -221,3 +221,82 @@ def test_hll_error_bound_and_union(spark, users):
 def test_kmv_rejects_bad_k(spark, users):
     with pytest.raises(ValueError, match="k must be"):
         kmv_sketch(users, ("grp",), "uid", k=1)
+
+
+# ---------------------------------------------------------------- MG --
+
+
+def _zipf_terms(spark, n=20000, parts=8):
+    """Deterministic skewed term stream: term_i frequency ~ 1/(i+1)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(n)
+        .repartition(parts)
+        .select(
+            F.concat(
+                F.lit("t"),
+                F.floor(
+                    F.sqrt((F.col("id") * 7919 % 10000).cast("double"))
+                ).cast("int").cast("string"),
+            ).alias("term")
+        )
+    )
+
+
+def test_heavy_hitters_exact_when_k_covers_vocab(spark):
+    from pyspark.sql import functions as F
+
+    from named_architecture_entity_recognition_spark.operators.sketch import (
+        heavy_hitters,
+    )
+
+    df = _zipf_terms(spark, n=5000)
+    exact = {
+        r.term: r.n
+        for r in df.groupBy("term").agg(F.count("*").alias("n")).collect()
+    }
+    got = heavy_hitters(df, k=len(exact) + 10).collect()
+    assert {r.term: r.count_lo for r in got} == dict(
+        sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[: len(exact)]
+    )
+    assert all(r.count_hi == r.count_lo for r in got)  # no decrements
+
+
+def test_heavy_hitters_mg_guarantee_small_k(spark):
+    """count_lo <= true <= count_hi for every reported term, and every
+    term more frequent than the error bound is reported."""
+    from pyspark.sql import functions as F
+
+    from named_architecture_entity_recognition_spark.operators.sketch import (
+        heavy_hitters,
+    )
+
+    df = _zipf_terms(spark, n=20000, parts=8)
+    exact = {
+        r.term: r.n
+        for r in df.groupBy("term").agg(F.count("*").alias("n")).collect()
+    }
+    k = 8
+    got = heavy_hitters(df, k=k).collect()
+    assert 0 < len(got) <= k
+    err = got[0].count_hi - got[0].count_lo
+    assert err > 0  # decrements did happen at this k
+    for r in got:
+        assert r.count_lo <= exact[r.term] <= r.count_hi, (r, exact[r.term])
+    reported = {r.term for r in got}
+    for t, n in exact.items():
+        if n > err:
+            assert t in reported, (t, n, err)
+
+
+def test_heavy_hitters_rejects_bad_k(spark):
+    from named_architecture_entity_recognition_spark.operators.sketch import (
+        heavy_hitters,
+    )
+
+    df = _zipf_terms(spark, n=100)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        heavy_hitters(df, k=0)
