@@ -554,6 +554,23 @@ def _q_cohort_retention(spark, sf):
     return cohort_retention(_read(spark, sf, "events"))
 
 
+def _q_weighted_sample(spark, sf):
+    """Efraimidis-Spirakis weighted sample (k=30, weight = token
+    count): deterministic md5 uniforms, global top-k is
+    TakeOrderedAndProject; DuckDB recomputes the identical keys."""
+    from named_architecture_entity_recognition_spark.operators.corpus import (
+        weighted_sample,
+    )
+    from named_architecture_entity_recognition_spark.operators.textstats import (
+        tokens,
+    )
+
+    d = _read(spark, sf, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    return weighted_sample(d, 30, "n_tokens")
+
+
 def _q_heavy_hitters(spark, sf):
     """Misra-Gries heavy hitters over corpus tokens: bounded state per
     partition (k counters), shuffle carries <= partitions x (k+1)
@@ -1415,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_funnel_levels": _q_funnel_levels,
         "q_cohort_retention": _q_cohort_retention,
         "q_heavy_hitters": _q_heavy_hitters,
+        "q_weighted_sample": _q_weighted_sample,
         "q_redact_pii": _q_redact_pii,
         "q_asof_join": _q_asof_join,
         "q_range_join": _q_range_join,
@@ -1860,6 +1878,17 @@ def oracle_sql() -> dict[str, str]:
             + ") AS z FROM b"
         ),
         "q_pagerank": _pagerank_sql(),
+        "q_weighted_sample": (
+            "WITH d AS (SELECT doc_id, "
+            f"len(list_filter({words}, w -> w != '')) AS n_tokens "
+            "FROM documents) "
+            "SELECT doc_id, n_tokens FROM ("
+            "SELECT doc_id, n_tokens, "
+            "(-ln((('0x' || substr(md5('wsample-v1' || doc_id::VARCHAR), 1, 8))"
+            "::UBIGINT::DOUBLE + 1.0) / 4294967296.0)) / n_tokens::DOUBLE AS k "
+            "FROM d WHERE n_tokens IS NOT NULL AND n_tokens > 0) "
+            "ORDER BY k ASC, doc_id ASC LIMIT 30"
+        ),
         "q_heavy_hitters": (
             "WITH t AS (SELECT "
             f"unnest(list_filter({words}, w -> w != '')) AS term "

@@ -63,6 +63,8 @@ def run_bench(sf_dir: str, cpus: str, n_synth_docs: int | None = None):
         "q_ngram_jaccard",
         "q_ann_cosine_topk",
         "q_token_count",
+        "q_bm25_topk",
+        "q_funnel_levels",
         "q_naer_triples",
     )
     qs = entrymod.queries()

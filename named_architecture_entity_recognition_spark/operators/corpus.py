@@ -217,6 +217,55 @@ def stratified_sample_exact(
     )
 
 
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Exact-k weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): inclusion probability proportional to ``weight_col``
+    at every prefix. Each row gets key = -ln(u)/w with u the same
+    deterministic md5-uniform as :func:`sample_mixture` (own salt);
+    the k smallest keys are the sample — equivalent to drawing rows
+    one-by-one with probability w/remaining-total-w, the standard
+    distributed one-pass weighted reservoir.
+
+    Deterministic and engine-portable (DuckDB recomputes the identical
+    keys: q_weighted_sample), so resume/backfill re-selects the same
+    rows for unchanged (id, weight) pairs. The global top-k is
+    TakeOrderedAndProject (per-partition heaps + driver merge of k) —
+    no global sort, no shuffle of non-winners. Zero/negative/null
+    weights are excluded (they'd be never-chosen / undefined).
+
+    Typical use: size-proportional doc sampling (weight = token count)
+    for eval-set mining or mixture calibration, where uniform hash
+    sampling (:func:`stratified_sample_exact`) over-represents short
+    docs.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16**8))  # (0, 1]: ln(u) defined, key finite
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        docs.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_wkey", key)
+        .orderBy(F.asc("_wkey"), F.asc(id_col))
+        .limit(k)
+        .drop("_wkey")
+    )
+
+
 def token_count(col) -> Column:
     """Whitespace token count (textstats-compatible)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -98,3 +98,51 @@ def test_stratified_rejects_bad_k(spark):
     docs = spark.createDataFrame([("d1", "web")], "doc_id string, source string")
     with pytest.raises(ValueError, match="k must be"):
         stratified_sample_exact(docs, 0)
+
+
+def test_weighted_sample_matches_python_oracle(spark):
+    """Keys are deterministic md5 math — recompute them in python and
+    assert the exact same k rows are chosen."""
+    import hashlib
+    import math
+
+    from named_architecture_entity_recognition_spark.operators.corpus import (
+        weighted_sample,
+    )
+
+    rows = [(f"d{i:04d}", (i % 17) + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id string, w int")
+    k = 25
+    got = {r.doc_id for r in weighted_sample(df, k, "w").collect()}
+
+    def key(doc_id, w):
+        v = int(hashlib.md5(f"wsample-v1{doc_id}".encode()).hexdigest()[:8], 16)
+        return -math.log((v + 1.0) / 16**8) / w
+
+    exp = {
+        d for d, _ in sorted(rows, key=lambda r: (key(*r), r[0]))[:k]
+    }
+    assert got == exp
+    # deterministic under repartition
+    again = {r.doc_id for r in weighted_sample(df.repartition(9), k, "w").collect()}
+    assert again == got
+
+
+def test_weighted_sample_favors_heavy_and_filters_bad_weights(spark):
+    import pytest as _pytest
+
+    from named_architecture_entity_recognition_spark.operators.corpus import (
+        weighted_sample,
+    )
+
+    rows = [(f"h{i:03d}", 1000.0) for i in range(50)] + [
+        (f"l{i:03d}", 1.0) for i in range(50)
+    ]
+    rows += [("z1", 0.0), ("z2", None)]  # never selectable
+    df = spark.createDataFrame(rows, "doc_id string, w double")
+    got = [r.doc_id for r in weighted_sample(df, 20, "w").collect()]
+    assert len(got) == 20 and "z1" not in got and "z2" not in got
+    heavy = sum(1 for d in got if d.startswith("h"))
+    assert heavy >= 17  # weight ratio 1000:1 -> sample almost all heavy
+    with _pytest.raises(ValueError, match="k must be"):
+        weighted_sample(df, 0, "w")
