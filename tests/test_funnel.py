@@ -105,3 +105,27 @@ def test_funnel_single_user_partitioning_invariance(spark):
                  ("u%d" % (i % 7), "purchase", i * 37 + 9)]
     df = _ev(spark, rows)
     assert _levels(df) == _levels(df.repartition(13))
+
+
+def test_funnel_joins_are_equi_not_nested_loop(spark):
+    """With broadcast disabled (the 100 TB regime), every chain join
+    must extract the user_id equi-key (SortMergeJoin) — a
+    BroadcastNestedLoopJoin/CartesianProduct here would be quadratic
+    in events."""
+    rows = []
+    for i in range(200):
+        rows += [(f"u{i % 9}", "view", i * 11), (f"u{i % 9}", "click", i * 11 + 3),
+                 (f"u{i % 9}", "purchase", i * 11 + 7)]
+    df = _ev(spark, rows)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = funnel_levels(df, ["view", "click", "purchase"], 3600.0)
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in final, final
+        assert "BroadcastNestedLoopJoin" not in final, final
+        assert "CartesianProduct" not in final, final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
