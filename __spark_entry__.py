@@ -554,6 +554,17 @@ def _q_cohort_retention(spark, sf):
     return cohort_retention(_read(spark, sf, "events"))
 
 
+def _q_collocations(spark, sf):
+    """Top-40 bigram collocations by PMI (min_count=5): partial-agg
+    n-gram counts, broadcast totals, pure product/log scoring —
+    deterministic, DuckDB recomputes identical PMI."""
+    from named_architecture_entity_recognition_spark.operators.textstats import (
+        collocations,
+    )
+
+    return collocations(_read(spark, sf, "documents"), k=40, min_count=5)
+
+
 def _q_weighted_sample(spark, sf):
     """Efraimidis-Spirakis weighted sample (k=30, weight = token
     count): deterministic md5 uniforms, global top-k is
@@ -1433,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cohort_retention": _q_cohort_retention,
         "q_heavy_hitters": _q_heavy_hitters,
         "q_weighted_sample": _q_weighted_sample,
+        "q_collocations": _q_collocations,
         "q_redact_pii": _q_redact_pii,
         "q_asof_join": _q_asof_join,
         "q_range_join": _q_range_join,
@@ -1878,6 +1890,24 @@ def oracle_sql() -> dict[str, str]:
             + ") AS z FROM b"
         ),
         "q_pagerank": _pagerank_sql(),
+        "q_collocations": (
+            f"WITH tok AS (SELECT list_filter({words}, w -> w != '') AS t "
+            "FROM documents), "
+            "tot AS (SELECT sum(len(t))::DOUBLE AS n_uni, "
+            "sum(greatest(len(t) - 1, 0))::DOUBLE AS n_big FROM tok), "
+            "uni AS (SELECT w, count(*) AS c FROM "
+            "(SELECT unnest(t) AS w FROM tok) GROUP BY w), "
+            "p AS (SELECT unnest(list_transform("
+            "generate_series(1, greatest(len(t) - 1, 0)), "
+            "i -> {'w1': t[i], 'w2': t[i + 1]})) AS bg FROM tok), "
+            "big AS (SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS n "
+            "FROM p GROUP BY 1, 2 HAVING count(*) >= 5) "
+            "SELECT big.w1 || ' ' || big.w2 AS bigram, big.w1, big.w2, n, "
+            "round(ln((n / n_big) / ((u1.c / n_uni) * (u2.c / n_uni))), 6) "
+            "AS pmi FROM big JOIN uni u1 ON u1.w = big.w1 "
+            "JOIN uni u2 ON u2.w = big.w2 CROSS JOIN tot "
+            "ORDER BY pmi DESC, bigram ASC LIMIT 40"
+        ),
         "q_weighted_sample": (
             "WITH d AS (SELECT doc_id, "
             f"len(list_filter({words}, w -> w != '')) AS n_tokens "

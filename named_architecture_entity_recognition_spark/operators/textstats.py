@@ -293,3 +293,75 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def collocations(
+    docs: DataFrame, k: int = 50, min_count: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Top-``k`` bigram collocations by pointwise mutual information:
+    (bigram, w1, w2, n, pmi) with
+
+        pmi = ln( (n/M) / ((c1/N) * (c2/N)) )
+
+    over corpus totals N (tokens) and M (bigrams) — the standard
+    Church-Hanks association measure for discovering multi-word
+    expressions worth protecting from tokenization/dedup shredding.
+
+    Scale shape: bigram and unigram counts are partial-agg groupBys
+    (shuffle = distinct n-grams, not occurrences); totals are ONE
+    broadcast single-row aggregate; the two count joins are equi-joins
+    on the word (hot stopword keys are the `operators/skew.py` story,
+    and ``min_count`` prunes the long tail before both joins). PMI is
+    a pure product/log expression — deterministic, identical in DuckDB
+    (q_collocations), no summation-order noise. Top-k is
+    TakeOrderedAndProject with (pmi, bigram) tie-break.
+    """
+    if k < 1 or min_count < 1:
+        raise ValueError(f"k and min_count must be >= 1: {k}, {min_count}")
+    tok = docs.select(tokens(F.col(text_col)).alias("t"))
+    totals = tok.agg(
+        F.sum(F.size("t")).cast("double").alias("n_uni"),
+        F.sum(F.greatest(F.size("t") - 1, F.lit(0)))
+        .cast("double")
+        .alias("n_big"),
+    )
+    uni = (
+        tok.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = tok.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                ),
+            ).otherwise(F.expr("array()"))
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    scored = (
+        big.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .join(F.broadcast(totals))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "w1",
+            "w2",
+            "n",
+            F.round(
+                F.log(
+                    (F.col("n") / F.col("n_big"))
+                    / ((F.col("c1") / F.col("n_uni")) * (F.col("c2") / F.col("n_uni")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(k)

@@ -416,3 +416,49 @@ def test_redact_pii_scrubs_and_counts(spark):
     assert rows[2].text == "no pii here at all"
     assert rows[2].n_email == rows[2].n_ipv4 == rows[2].n_phone == 0
     assert rows[3].n_email == 2 and rows[3].n_ipv4 == 1 and rows[3].n_phone == 0
+
+
+def test_collocations_pmi_matches_hand_computation(spark):
+    """'new york' always co-occurs; 'the cat' co-occurs at chance.
+    PMI of the bound pair must be ln(M/n * (N/c1) * (N/c2) ...) —
+    recompute exactly in python and compare."""
+    import math
+
+    from named_architecture_entity_recognition_spark.operators.textstats import (
+        collocations,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", "new york " * 3 + "the cat sat on the mat") for i in range(4)],
+        "doc_id string, text string",
+    )
+    got = {r.bigram: (r.n, r.pmi) for r in collocations(docs, k=20, min_count=4).collect()}
+
+    toks = ("new york " * 3 + "the cat sat on the mat").split()
+    n_doc = len(toks)
+    bigs = list(zip(toks, toks[1:]))
+    N, M = 4.0 * n_doc, 4.0 * len(bigs)
+    from collections import Counter
+
+    cu, cb = Counter(toks), Counter(bigs)
+    exp = {}
+    for (w1, w2), c in cb.items():
+        n = 4 * c
+        if n >= 4:
+            pmi = math.log((n / M) / ((4 * cu[w1] / N) * (4 * cu[w2] / N)))
+            exp[f"{w1} {w2}"] = (n, round(pmi, 6))
+    assert got == exp
+
+
+def test_collocations_validation_and_min_count(spark):
+    import pytest as _pytest
+
+    from named_architecture_entity_recognition_spark.operators.textstats import (
+        collocations,
+    )
+
+    docs = spark.createDataFrame([("d1", "a b a b a c")], "doc_id string, text string")
+    out = {r.bigram for r in collocations(docs, k=10, min_count=2).collect()}
+    assert out == {"a b", "b a"}  # 'a c'/'c' pairs fall under min_count
+    with _pytest.raises(ValueError, match="must be >= 1"):
+        collocations(docs, k=0)
