@@ -50,8 +50,12 @@ def asof_join(
     number of seconds (the match becomes null, the left row stays).
 
     Ties: a right row AT the left row's timestamp matches. If the right
-    side has duplicate (key, ts) rows the last one in (ts) order wins
-    after a stable sort — dedupe upstream if that matters.
+    side has duplicate (key, ts) rows the one with the GREATEST payload
+    struct wins (the window orders ties by the payload struct, so the
+    winner is deterministic — field-by-field natural struct ordering,
+    which requires the right payload columns to be orderable types).
+    Dedupe upstream (max_by per (key, ts)) when a different tie rule is
+    wanted.
     """
     rpay_cols = [c for c in right.columns if c != on]
     lpay_cols = list(left.columns)
@@ -74,9 +78,12 @@ def asof_join(
         ).alias("_rpay"),
         F.struct(*lpay_cols).alias("_lpay"),
     )
+    # _rpay as the final sort key: among duplicate right (key, ts) rows
+    # the running last() then deterministically picks the max payload
+    # (left rows all carry null _rpay and never compete — same _side)
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ats", "_side")
+        .orderBy("_ats", "_side", F.col("_rpay").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = F.last("_rpay", ignorenulls=True).over(w)

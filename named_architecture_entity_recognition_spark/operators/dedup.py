@@ -51,6 +51,27 @@ def shingles(col, n: int = 3) -> Column:
     )
 
 
+def _drop_hot_buckets(banded: DataFrame, keys: tuple, cap: int) -> DataFrame:
+    """Drop rows whose (band) bucket holds more than ``cap`` docs.
+
+    Shape matters at 100 TB: a ``count(*) OVER (PARTITION BY band)``
+    window would shuffle the ENTIRE mega-bucket into one task's state
+    before it could be dropped — the pathological bucket this cap
+    exists for is exactly the one that lands on a single task. A
+    groupBy partial aggregate instead collapses the hot key map-side
+    (each task contributes one count row), and the over-cap key list —
+    at most N/cap keys, tiny in practice since over-cap buckets are
+    template clusters — anti-joins back (AQE broadcasts the aggregated
+    side when small). No task ever materializes a bucket."""
+    over = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bucket_n"))
+        .filter(F.col("_bucket_n") > cap)
+        .select(*keys)
+    )
+    return banded.join(over, list(keys), "left_anti")
+
+
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Hash-groupBy exact dedup: (text_hash, n_dups, keep_id=min doc_id)."""
     return (
@@ -155,13 +176,8 @@ def minhash_lsh_pairs(
         ).alias("band_idx", "band_key"),
     )
     if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band_idx", "band_key")
-        banded = (
-            banded.withColumn("bucket_size", F.count("*").over(w))
-            .filter(F.col("bucket_size") <= max_bucket_size)
-            .drop("bucket_size")
+        banded = _drop_hot_buckets(
+            banded, ("band_idx", "band_key"), max_bucket_size
         )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -321,13 +337,8 @@ def simhash_pairs(
         ).alias("block_idx", "block"),
     )
     if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("block_idx", "block")
-        banded = (
-            banded.withColumn("bucket_size", F.count("*").over(w))
-            .filter(F.col("bucket_size") <= max_bucket_size)
-            .drop("bucket_size")
+        banded = _drop_hot_buckets(
+            banded, ("block_idx", "block"), max_bucket_size
         )
     a = banded.alias("a")
     b = banded.alias("b")

@@ -300,3 +300,29 @@ def test_heavy_hitters_rejects_bad_k(spark):
 
     with _pytest.raises(ValueError, match="k must be"):
         heavy_hitters(df, k=0)
+
+
+def test_q_heavy_hitters_fixture_vocab_below_k(spark):
+    """q_heavy_hitters's DuckDB oracle is exact-count equality, which
+    holds ONLY in the no-decrement regime (per-partition distinct terms
+    <= k=64). Pin that premise: if the sf0.01 fixture corpus vocabulary
+    ever grows past k, this fails loudly instead of surfacing as an
+    opaque driver hash mismatch."""
+    from pyspark.sql import functions as F
+
+    from named_architecture_entity_recognition_spark.operators.textstats import (
+        tokens,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .select("term")
+        .distinct()
+        .count()
+    )
+    assert vocab <= 64, (
+        f"fixture vocabulary {vocab} exceeds q_heavy_hitters k=64 — "
+        "Misra-Gries decrements now apply and the exact-count oracle "
+        "in __spark_entry__.oracle_sql() is no longer valid"
+    )
