@@ -94,18 +94,42 @@ def run_bench(sf_dir: str, cpus: str, n_synth_docs: int | None = None):
     # variance; BASELINE.md "Measurement gotchas"). Every measurement is
     # therefore the MIN over n_reps repeats — the steal-free estimate of
     # the job's true cost. One rep only if NAER_BENCH_REPS=1.
+    #
+    # Forensics (round-2 lesson: the driver's recorded bench regressed
+    # 5.5x on an UNCHANGED trivial md5 groupBy, unreproducible locally):
+    # every per-rep wall time and an interleaved fixed-work CPU probe go
+    # into the JSON, so a steal episode during the driver's run is
+    # visible in the committed artifact instead of a mystery.
     n_reps = int(os.environ.get("NAER_BENCH_REPS", "3"))
+    rep_times: dict = {}
+    probe_ms: dict = {}
 
-    def timed(fn):
-        best = float("inf")
+    import hashlib
+
+    def _probe() -> float:
+        # fixed single-threaded deterministic work (~40ms unloaded);
+        # its wall time varies ONLY with host steal / CPU contention
+        t0 = time.perf_counter()
+        h = b"probe"
+        for _ in range(100_000):
+            h = hashlib.md5(h).digest()
+        return (time.perf_counter() - t0) * 1000.0
+
+    def timed(name, fn):
+        # decouple accumulated JVM GC debt from the measured query
+        spark.sparkContext._jvm.System.gc()
+        reps, probes = [], []
         for _ in range(n_reps):
-            t0 = time.time()
+            probes.append(round(_probe(), 1))
+            t0 = time.perf_counter()
             fn()
-            best = min(best, time.time() - t0)
-        return best
+            reps.append(round(time.perf_counter() - t0, 3))
+        rep_times[name] = reps
+        probe_ms[name] = probes
+        return min(reps)
 
     n_triples = pipe.triples(docs).count()
-    dt = timed(lambda: pipe.triples(docs).count())
+    dt = timed("naer_kg_pipeline", lambda: pipe.triples(docs).count())
     timings["naer_kg_pipeline"] = round(dt, 3)
     extras["n_docs"] = n_synth_docs
     extras["n_triples"] = n_triples
@@ -113,7 +137,11 @@ def run_bench(sf_dir: str, cpus: str, n_synth_docs: int | None = None):
 
     # --- operator headliners on the driver tables (steady-state)
     for name in headliners:
-        timings[name] = round(timed(lambda: qs[name](spark, sf_dir).count()), 3)
+        timings[name] = round(
+            timed(name, lambda: qs[name](spark, sf_dir).count()), 3
+        )
+    extras["rep_times"] = rep_times
+    extras["probe_ms"] = probe_ms
 
     # --- corpus-prep stress (extras only, NOT in the headline total):
     # the full prepare_corpus funnel over the flattened synthetic corpus

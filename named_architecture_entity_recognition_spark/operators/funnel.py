@@ -98,10 +98,110 @@ def funnel_levels(
     )
 
 
+def funnel_levels_array(
+    events: DataFrame,
+    steps: list[str],
+    window_s: float,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    n_salts: int | None = None,
+) -> DataFrame:
+    """Same contract and semantics as ``funnel_levels`` (pytest asserts
+    the two kernels identical), different scale shape — the documented
+    >5-step / power-user variant:
+
+    ONE groupBy collects each user's per-step sorted timestamp arrays,
+    then the greedy chain runs as a pure-Catalyst array scan (nested
+    higher-order functions — zero Python). A k-step funnel as chain
+    joins is k-1 joins whose per-user fan-out multiplies for power
+    users; here the per-user work is an in-memory scan bounded by that
+    user's own event count, and the job has exactly one shuffle.
+
+    ``n_salts``: two-phase collect for mega-users (skew.py pattern) —
+    partial collect_list on (user, salt), merge+sort on user. The
+    final per-user array still lands on one task (the scan needs it),
+    but no single task ever receives the raw event rows of a hot user
+    in one gulp.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs >= 2 steps")
+    ev = events.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("_type"),
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+    )
+    step_aggs = [
+        F.array_sort(
+            F.collect_list(F.when(F.col("_type") == s, F.col("_ts")))
+        ).alias(f"a{i + 1}")
+        for i, s in enumerate(steps)
+    ]
+    if n_salts:
+        from named_architecture_entity_recognition_spark.operators.skew import (
+            with_salt,
+        )
+
+        partial = with_salt(
+            ev, n_salts, cols=["user_id", "_type", "_ts"]
+        ).groupBy("user_id", "salt").agg(*step_aggs)
+        per_user = partial.groupBy("user_id").agg(
+            *[
+                F.array_sort(F.flatten(F.collect_list(f"a{i + 1}"))).alias(
+                    f"a{i + 1}"
+                )
+                for i in range(len(steps))
+            ]
+        )
+    else:
+        per_user = ev.groupBy("user_id").agg(*step_aggs)
+
+    def _after(p):
+        # closure factory: a default-arg lambda would have TWO params
+        # and PySpark would bind it to filter's (element, index) form
+        return lambda x: x > p
+
+    def level_from(t1):
+        # greedy chain from start event t1: earliest step-(i+1) ts after
+        # the chain's step-i ts (arrays are sorted, min = earliest);
+        # level = 1 + deepest consecutive within-window prefix
+        prev = t1
+        lvl = F.lit(1)
+        ok = F.lit(True)
+        for i in range(1, len(steps)):
+            nxt = F.array_min(
+                F.filter(F.col(f"a{i + 1}"), _after(prev))
+            )
+            ok = (
+                ok
+                & nxt.isNotNull()
+                & (
+                    nxt.cast("double") - t1.cast("double")
+                    <= float(window_s)
+                )
+            )
+            lvl = lvl + F.when(ok, 1).otherwise(0)
+            prev = nxt
+        return lvl
+
+    return (
+        per_user.select(
+            "user_id",
+            F.array_max(F.transform(F.col("a1"), level_from))
+            .cast("int")
+            .alias("level"),
+        )
+        # users with no step-1 event have level null -> absent, matching
+        # the join kernel
+        .filter(F.col("level").isNotNull())
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    approx_k: int | None = None,
 ) -> DataFrame:
     """Weekly cohort retention: (cohort, period, n_users) where cohort
     = Monday of the user's first-ever event week, period = whole weeks
@@ -111,27 +211,38 @@ def cohort_retention(
     Scale shape: the first-seen aggregate and the events⨝first join
     both hash-partition on the user column — one exchange serves both
     (AQE reuses it); the final (cohort, period) aggregate is a
-    partial-agg shuffle over a tiny key space. countDistinct is exact
-    here; swap in the KMV/HLL sketches (`operators/sketch.py`) when
-    cohorts outgrow per-key memory.
+    partial-agg shuffle over a tiny key space.
+
+    ``approx_k``: at 10^9 users the exact countDistinct's per-key
+    distinct set outgrows memory; approx_k = K swaps in the mergeable
+    KMV sketch (`operators/sketch.py`, md5-portable so DuckDB oracles
+    it) — n_users becomes an estimate, exact while a cell holds < K
+    distinct users, relative std err ~ 1/sqrt(K-2) beyond (error-bound
+    pytest in tests/test_funnel.py).
     """
     u = F.col(user_col)
     week = F.date_trunc("week", F.col(ts_col))
     first = events.groupBy(u.alias("_u")).agg(
         F.min(week).alias("_cohort")
     )
-    return (
-        events.join(first, u == F.col("_u"))
-        .select(
-            u.alias("_user"),
-            F.col("_cohort").cast("date").alias("cohort"),
-            F.floor(
-                F.datediff(week.cast("date"), F.col("_cohort").cast("date"))
-                / 7
-            )
-            .cast("int")
-            .alias("period"),
+    cells = events.join(first, u == F.col("_u")).select(
+        u.alias("_user"),
+        F.col("_cohort").cast("date").alias("cohort"),
+        F.floor(
+            F.datediff(week.cast("date"), F.col("_cohort").cast("date"))
+            / 7
         )
-        .groupBy("cohort", "period")
-        .agg(F.countDistinct("_user").alias("n_users"))
+        .cast("int")
+        .alias("period"),
+    )
+    if approx_k is not None:
+        from named_architecture_entity_recognition_spark.operators.sketch import (
+            kmv_distinct,
+        )
+
+        return kmv_distinct(
+            cells, ("cohort", "period"), "_user", k=approx_k
+        ).withColumnRenamed("est_distinct", "n_users")
+    return cells.groupBy("cohort", "period").agg(
+        F.countDistinct("_user").alias("n_users")
     )

@@ -131,3 +131,75 @@ def triple_edges(triples: DataFrame) -> DataFrame:
     return triples.select(
         F.col("subj").alias("src"), F.col("obj").alias("dst")
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-vertex triangle counts over an undirected graph given as a
+    (possibly directed / duplicated / self-looped) edge list.
+
+    -> (vertex, n_triangles) for every vertex in >= 1 triangle.
+
+    Scale shape — degree-ordered edge orientation, the standard
+    skew-killer for triangle enumeration: after normalizing to
+    undirected distinct edges, each edge is oriented from its lower-
+    (degree, id) endpoint to the higher one. Every triangle then has
+    exactly ONE wedge (a->b, b->c) whose closing edge (a->c) is also
+    oriented, so the wedge join + closing semi-join counts each
+    triangle once — and the wedge fan-out per vertex is bounded by its
+    ORIENTED out-degree, which is O(sqrt(m)) even for a celebrity hub
+    (a vertex keeps an out-edge only toward higher-degree neighbors).
+    Without orientation a hub with degree d contributes d^2 wedges; at
+    10^9-edge scale that single key is the job. Three shuffles total
+    (degree agg, wedge join, closing join), all equi-joins.
+    """
+    u, v = F.col(src), F.col(dst)
+    und = (
+        edges.select(
+            F.least(u, v).alias("u"), F.greatest(u, v).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+    deg = (
+        und.select(F.col("u").alias("x"))
+        .unionAll(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient: (deg, id) lexicographic — total order, so orientation is
+    # deterministic and acyclic
+    o = (
+        und.join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
+        .select(
+            F.when(
+                F.struct(F.col("du"), F.col("u"))
+                < F.struct(F.col("dv"), F.col("v")),
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            )
+            .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+            .alias("e")
+        )
+        .select("e.a", "e.b")
+    )
+    wedge = (
+        o.alias("e1")
+        .join(o.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    tri = wedge.alias("w").join(
+        o.alias("e3"),
+        (F.col("w.a") == F.col("e3.a")) & (F.col("w.c") == F.col("e3.b")),
+        "left_semi",
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -693,10 +693,23 @@ def induce_aliases(lines, gazetteer, cfg: MatcherConfig):
         for m in defn.finditer(line):
             phrase, acro = m.group(1), m.group(2)
             words = phrase.split()
-            if "".join(w[0] for w in words).upper() != acro:
+            # the regex is greedy-leftmost, so a capitalized sentence
+            # opener swallows leading words ("The Nebula Cache Service
+            # NCS" captures phrase "The Nebula ..."); trim from the left
+            # until the initials spell the acronym — still requires the
+            # exact-initials + gazetteer-surface evidence, so no new
+            # false aliases are possible
+            sub = None
+            for start in range(len(words) - 1):
+                cand = words[start:]
+                if "".join(w[0] for w in cand).upper() == acro:
+                    sub = cand
+                    break
+            if sub is None:
                 continue
+            sub_phrase = " ".join(sub)
             for entry in gazetteer:
-                if entry.ci_regex.search(phrase):
+                if entry.ci_regex.search(sub_phrase):
                     aliases.setdefault(
                         acro,
                         (entry.name, re.compile(_boundary_pattern(acro))),

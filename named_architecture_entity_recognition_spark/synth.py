@@ -96,6 +96,138 @@ def _gen_doc(doc_idx: int, seed: int, gaz: list, sentences_lo: int,
     return {"doc_id": f"doc{doc_idx:010d}", "spans": spans}
 
 
+_HOLDOUT_GAZ = [
+    "QuantumRouter",          # camel compound
+    "Nebula Cache Service",   # multi-word (acronym NCS inducible)
+    "Aurora Client",          # multi-word with role-head 'client'
+    "StellarUI",              # camel with anaphoric head 'UI'
+    "Krakatoa-Ingest",        # hyphenated
+    "VortexScheduler",        # camel compound
+    "Meridian Broker",        # multi-word
+    "PulseEngine",            # camel compound
+    "Storage",                # ambiguous common word (case discipline)
+    "KYBER",                  # short acronym-like (fuzzy-typo scope)
+]
+
+_HOLDOUT_VERBS = (
+    "routes", "validates", "persists", "forwards", "aggregates",
+    "dispatches", "compresses", "replicates",
+)
+
+_HOLDOUT_FILLER = (
+    "Every request carries a correlation identifier.",
+    "Deployment happens twice a week without downtime.",
+    "Metrics are exported to the monitoring stack.",
+    "Failures trigger an automatic rollback procedure.",
+    "Configuration changes require a review step.",
+)
+
+
+def synth_holdout_sad(doc_idx: int, seed: int = 7):
+    """Held-out generalization SAD: gazetteer mentions under paraphrase
+    / typo / anaphora transformations with vocabulary DISJOINT from the
+    five ArDoCo benchmark texts (guards the matcher against benchmark
+    memorization — its rules were tuned on those five gold CSVs).
+
+    Returns (lines, gazetteer_names, gold) where gold is the exact set
+    of (lowercase component name, 1-indexed sentence) pairs a correct
+    recognizer should emit. Every sentence is generated from a template
+    whose match outcome is known by construction, including negative
+    templates (opinion framing, comparative 'than', quantity-of mass
+    nouns) that must NOT produce occurrences.
+    """
+    rng = np.random.RandomState((seed * 7_919 + doc_idx) % (2**31 - 1))
+    verbs = _HOLDOUT_VERBS
+
+    def verb():
+        return verbs[int(rng.randint(0, len(verbs)))]
+
+    sents: list[tuple[str, list[str]]] = []  # (text, gold names)
+
+    def exact(name):
+        sents.append((f"The {name} {verb()} incoming requests.", [name]))
+
+    # section 1: introduce each entity with an exact mention; the
+    # multi-word service also induces its acronym alias (R_ALIAS)
+    exact("QuantumRouter")
+    sents.append(
+        (
+            f"The Nebula Cache Service NCS {verb()} hot records.",
+            ["Nebula Cache Service"],
+        )
+    )
+    exact("Aurora Client")
+    exact("StellarUI")
+    exact("Krakatoa-Ingest")
+    exact("VortexScheduler")
+    sents.append(
+        (
+            f"The PulseEngine {verb()} events to the Meridian Broker.",
+            ["PulseEngine", "Meridian Broker"],
+        )
+    )
+    sents.append(("The Storage persists all submitted records.", ["Storage"]))
+    exact("KYBER")
+
+    # section 2: transformed re-mentions, interleaved with filler and
+    # negatives in seeded order
+    blocks: list[list[tuple[str, list[str]]]] = []
+    # normalized (case/hyphen/space collapsed) variants -> R_NORM
+    blocks.append([(f"The quantum router {verb()} the payload.",
+                    ["QuantumRouter"])])
+    blocks.append([(f"The nebula-cache-service {verb()} every entry.",
+                    ["Nebula Cache Service"])])
+    blocks.append([(f"The krakatoa ingest {verb()} raw batches.",
+                    ["Krakatoa-Ingest"])])
+    # induced-acronym usage (definition is in section 1) -> R_ALIAS
+    blocks.append([(f"The NCS {verb()} stale entries.",
+                    ["Nebula Cache Service"])])
+    # adjacent-character transposition, character set unchanged ->
+    # R_FUZZY (the rule's designed scope is short acronym-like names,
+    # 4-6 normalized chars, mirroring the reference's 0.90 charset-
+    # Jaccard threshold; long-name typos are deliberately out of scope)
+    blocks.append([(f"The KYBRE {verb()} control frames.", ["KYBER"])])
+    # pronoun anaphora: action antecedent then 'It ...' -> R_PRONOUN
+    blocks.append([
+        (f"The VortexScheduler {verb()} deferred jobs.",
+         ["VortexScheduler"]),
+        (f"It {verb()} the backlog every minute.", ["VortexScheduler"]),
+    ])
+    blocks.append([
+        (f"The Aurora Client {verb()} the dashboard.", ["Aurora Client"]),
+        (f"It {verb()} user gestures locally.", ["Aurora Client"]),
+    ])
+    # head-noun / camel-head anaphora -> R_HEAD / R_CAMEL_HEAD
+    blocks.append([(f"The client {verb()} cached views offline.",
+                    ["Aurora Client"])])
+    blocks.append([(f"The UI {verb()} the rendered fragments.",
+                    ["StellarUI"])])
+    # negatives: opinion framing, comparative, mass-noun quantity,
+    # lowercase ambiguous word without qualifying evidence
+    blocks.append([
+        ("We think QuantumRouter is an amazing piece of software.", []),
+    ])
+    blocks.append([("Tools other than PulseEngine exist.", [])])
+    blocks.append([
+        ("Each node reserves some amount of storage for caching.", []),
+    ])
+    order = rng.permutation(len(blocks))
+    for bi in order:
+        if rng.rand() < 0.5:
+            sents.append(
+                (_HOLDOUT_FILLER[int(rng.randint(0, len(_HOLDOUT_FILLER)))],
+                 [])
+            )
+        sents.extend(blocks[bi])
+
+    lines = [t for t, _ in sents]
+    gold = {
+        (n.lower(), i + 1) for i, (_, names) in enumerate(sents)
+        for n in names
+    }
+    return lines, list(_HOLDOUT_GAZ), gold
+
+
 def synth_documents(
     spark: SparkSession,
     n_docs: int,

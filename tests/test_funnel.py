@@ -129,3 +129,137 @@ def test_funnel_joins_are_equi_not_nested_loop(spark):
         assert "CartesianProduct" not in final, final
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _levels_array(df, steps=("view", "click", "purchase"), window=3600.0,
+                  n_salts=None):
+    from named_architecture_entity_recognition_spark.operators.funnel import (
+        funnel_levels_array,
+    )
+
+    return {
+        r.user_id: r.level
+        for r in funnel_levels_array(
+            df, list(steps), window, n_salts=n_salts
+        ).collect()
+    }
+
+
+def test_funnel_array_kernel_matches_join_kernel(spark):
+    """The per-user sorted-array kernel must be row-identical to the
+    chain-join kernel on every semantic case above."""
+    df = _ev(spark, [
+        ("u1", "view", 0), ("u1", "click", 100), ("u1", "purchase", 200),
+        ("u2", "view", 0), ("u2", "click", 50),
+        ("u3", "view", 0),
+        ("u4", "purchase", 0), ("u4", "click", 10), ("u4", "view", 20),
+        ("u5", "click", 0), ("u5", "purchase", 10),
+        # window-restart case
+        ("u6", "view", 0), ("u6", "click", 100), ("u6", "view", 6900),
+        ("u6", "click", 7000), ("u6", "purchase", 7200),
+        # simultaneous events don't chain
+        ("u7", "view", 0), ("u7", "click", 0),
+    ])
+    assert _levels_array(df) == _levels(df)
+
+
+def test_funnel_array_kernel_eight_steps(spark):
+    """>5-step funnel — the regime the array kernel exists for (the
+    join kernel's chain grows a join per step)."""
+    from named_architecture_entity_recognition_spark.operators.funnel import (
+        funnel_levels,
+        funnel_levels_array,
+    )
+
+    steps = [f"s{i}" for i in range(8)]
+    rows = []
+    # u_full: completes all 8 within window; u_parts: stops at step 5;
+    # u_slow: completes but step 8 falls outside the window
+    for i in range(8):
+        rows.append(("u_full", f"s{i}", i * 10))
+    for i in range(5):
+        rows.append(("u_part", f"s{i}", i * 10))
+    for i in range(8):
+        rows.append(("u_slow", f"s{i}", i * 200))
+    df = _ev(spark, rows)
+    want = {"u_full": 8, "u_part": 5, "u_slow": 6}  # 5*200=1000 <= 1000
+    got_a = {
+        r.user_id: r.level
+        for r in funnel_levels_array(df, steps, 1000.0).collect()
+    }
+    got_j = {
+        r.user_id: r.level
+        for r in funnel_levels(df, steps, 1000.0).collect()
+    }
+    assert got_a == want and got_j == want
+
+
+def test_funnel_array_kernel_power_user_skew(spark):
+    """Power-user skew: one user with 600 interleaved events (the case
+    that makes the join kernel's per-key fan-out explode and a naive
+    collect hot). Both kernels agree, and the two-phase salted collect
+    (skew.py wiring) is identical to the direct one."""
+    rows = []
+    for i in range(200):
+        rows += [("whale", "view", i * 50), ("whale", "click", i * 50 + 7),
+                 ("whale", "purchase", i * 50 + 13)]
+    for i in range(10):
+        rows += [(f"m{i}", "view", i * 100), (f"m{i}", "click", i * 100 + 1)]
+    df = _ev(spark, rows)
+    base = _levels(df)
+    assert _levels_array(df) == base
+    assert _levels_array(df, n_salts=4) == base
+
+
+def test_funnel_array_kernel_is_single_shuffle_no_python(spark):
+    """Plan audit: the array kernel has exactly ONE exchange (the
+    groupBy on user) and zero Python boundaries."""
+    from named_architecture_entity_recognition_spark.operators.funnel import (
+        funnel_levels_array,
+    )
+
+    rows = [("u1", "view", 0), ("u1", "click", 5), ("u1", "purchase", 9)]
+    df = _ev(spark, rows)
+    out = funnel_levels_array(df, ["view", "click", "purchase"], 3600.0)
+    simple = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert simple.count("Exchange") == 1, simple
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in simple, simple
+
+
+def test_cohort_retention_approx_kmv(spark):
+    """KMV n_users path: exact while distinct users per cell < k, and
+    within the published KMV error envelope at small k (rel std err
+    ~ 1/sqrt(k-2); assert 5x that, i.e. a 5-sigma bound)."""
+    rows = []
+    for u in range(400):
+        rows.append((f"u{u}", "view", (u % 3) * 7 * 86400))
+        if u % 2 == 0:
+            rows.append((f"u{u}", "view", (u % 3) * 7 * 86400 + 14 * 86400))
+    df = _ev(spark, rows)
+    exact = {
+        (str(r.cohort), r.period): r.n_users
+        for r in cohort_retention(df).collect()
+    }
+    # k large enough: every estimate is EXACT (sketch never fills)
+    big = {
+        (str(r.cohort), r.period): r.n_users
+        for r in cohort_retention(df, approx_k=512).collect()
+    }
+    assert big == exact
+    # small k: 5-sigma KMV bound on every cell
+    import math
+
+    k = 32
+    approx = {
+        (str(r.cohort), r.period): r.n_users
+        for r in cohort_retention(df, approx_k=k).collect()
+    }
+    assert set(approx) == set(exact)
+    tol = 5.0 / math.sqrt(k - 2)
+    for cell, n in exact.items():
+        assert abs(approx[cell] - n) <= max(tol * n, 1.0), (
+            cell, n, approx[cell]
+        )

@@ -75,3 +75,54 @@ def test_triple_edges_shape(spark):
     )
     got = {(r.src, r.dst) for r in triple_edges(t).collect()}
     assert got == {("e1", "s1"), ("e2", "e1")}
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 plus a triangle-free star hub, with duplicate / reversed /
+    self-loop edges thrown in: K4 has 4 triangles, every K4 vertex sits
+    in exactly 3 of them; star vertices are absent."""
+    from named_architecture_entity_recognition_spark.operators.graph import (
+        triangle_count,
+    )
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    noise = [(2, 1), (3, 3), (1, 2)]  # reversed dup, self-loop, dup
+    star = [(100, x) for x in range(101, 106)]
+    e = spark.createDataFrame(k4 + noise + star, "src int, dst int")
+    got = {r.vertex: r.n_triangles for r in triangle_count(e).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_count_hub_skew_bounded(spark):
+    """A 200-spoke hub whose spokes form a chain: triangles = each
+    consecutive spoke pair + hub. Degree orientation keeps the hub's
+    ORIENTED out-degree at zero (every spoke has lower degree), so no
+    hub-keyed wedge explosion — and the count is exact."""
+    from named_architecture_entity_recognition_spark.operators.graph import (
+        triangle_count,
+    )
+
+    hub = [(0, i) for i in range(1, 201)]
+    chain = [(i, i + 1) for i in range(1, 200)]
+    e = spark.createDataFrame(hub + chain, "src int, dst int")
+    got = {r.vertex: r.n_triangles for r in triangle_count(e).collect()}
+    assert got[0] == 199  # hub participates in every (i, i+1, hub)
+    assert got[1] == 1 and got[200] == 1
+    assert all(got[i] == 2 for i in range(2, 200))
+
+
+def test_triangle_count_joins_are_equi_not_cartesian(spark):
+    from named_architecture_entity_recognition_spark.operators.graph import (
+        triangle_count,
+    )
+
+    e = spark.createDataFrame(
+        [(a, b) for a in range(1, 6) for b in range(1, 6) if a < b],
+        "src int, dst int",
+    )
+    out = triangle_count(e)
+    simple = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "CartesianProduct" not in simple, simple
+    assert "BroadcastNestedLoopJoin" not in simple, simple

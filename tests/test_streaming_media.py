@@ -313,3 +313,26 @@ def test_resize_nn_and_thumbnails(spark):
     assert len(row.thumb) == 12
     assert row.thumb[0] == 1.0 and row.thumb[1] == 0.0
     assert row.thumb[2] == 128 / 255
+
+
+def test_media_features_golden_value_hash(spark):
+    """q_media_features is the contract's one rows-only query (its fake
+    decoder is sha256-seeded numpy, which DuckDB cannot reproduce). The
+    output is nonetheless fully deterministic, so pin the driver-style
+    value hash (columns sorted by name, rows sorted, cells stringified
+    — tools/check_oracles.frame_hash) computed on the sf0.01 fixture.
+    Any semantic drift in the decoder or the span plumbing fails here
+    instead of passing silently as 'rows ran'."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import __spark_entry__ as entrymod
+    from check_oracles import frame_hash
+
+    df = entrymod.queries()["q_media_features"](
+        spark, "/root/testdata/sf0.01"
+    )
+    rows = df.collect()
+    assert len(rows) == 200
+    assert frame_hash(df.columns, rows) == "f57fcea3a79ddbf2"
