@@ -87,6 +87,11 @@ def run_bench(sf_dir: str, cpus: str, n_synth_docs: int | None = None):
         synth_documents(spark, n_synth_docs, seed=42, partitions=128).write.mode(
             "overwrite"
         ).parquet(corpus)
+    # one task per input file (Spark's small-file packing otherwise
+    # bins 128 files into one task per core — zero wave slack, so one
+    # slow core stalls the measurement; see tools/scaling.py)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(2 * 1024 * 1024))
     docs = spark.read.parquet(corpus)
     pipe.triples(docs.limit(200)).count()
 
