@@ -461,3 +461,63 @@ def prepare_corpus(
     return kept.unionByName(
         dropped.withColumn("split", F.lit(None).cast("string"))
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-budget token chunks with overlap —
+    the standard pre-tokenization step of an LLM training pipeline
+    (long documents must fit the context budget; overlap preserves
+    cross-boundary context).
+
+    -> (doc_id, chunk_id, n_tokens, chunk_text): chunk i covers tokens
+    [i*stride+1, i*stride+max_tokens] of the whitespace token stream
+    (stride = max_tokens - overlap), so consecutive chunks share
+    exactly ``overlap`` tokens; the final chunk may be shorter. Chunk
+    text is the tokens re-joined with single spaces (i.e. whitespace-
+    normalized and lowercased, matching textstats.tokens). Empty docs
+    produce no chunks.
+
+    Scale shape: pure-Catalyst narrow map + posexplode — zero
+    shuffles, zero Python; at 100 TB this runs fused inside the scan
+    stage. Chunk count per doc is ceil-bounded, so executor memory per
+    row is bounded by the longest single document (pathological
+    100M-token docs should be pre-split at ingest — same caveat as
+    pack_sequences).
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < max_tokens, got {overlap}/{max_tokens}"
+        )
+    from named_architecture_entity_recognition_spark.operators.textstats import (
+        tokens,
+    )
+
+    stride = max_tokens - overlap
+    w = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col), w.alias("_w"), F.size(w).alias("_n")
+    ).filter(F.col("_n") > 0)
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(
+            F.greatest(F.col("_n") - max_tokens, F.lit(0)) / float(stride)
+        )
+    ).cast("int")
+    exploded = base.select(
+        id_col,
+        "_w",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    chunk = F.slice("_w", F.col("chunk_id") * stride + 1, max_tokens)
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.size(chunk).alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )

@@ -462,3 +462,73 @@ def test_collocations_validation_and_min_count(spark):
     assert out == {"a b", "b a"}  # 'a c'/'c' pairs fall under min_count
     with _pytest.raises(ValueError, match="must be >= 1"):
         collocations(docs, k=0)
+
+
+def test_chunk_documents_boundaries_and_overlap(spark):
+    """Chunk i covers tokens [i*stride+1, i*stride+max]; consecutive
+    chunks share exactly `overlap` tokens; tail chunk may be short;
+    empty docs emit nothing."""
+    from named_architecture_entity_recognition_spark.operators.corpus import (
+        chunk_documents,
+    )
+
+    toks = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [("d1", " ".join(toks)), ("d2", "a b"), ("d3", "   "), ("d4", "x")],
+        "doc_id string, text string",
+    )
+    out = chunk_documents(df, max_tokens=4, overlap=2)
+    rows = {
+        (r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_text)
+        for r in out.collect()
+    }
+    # d1: 10 tokens, stride 2 -> 1 + ceil(6/2) = 4 chunks
+    assert rows[("d1", 0)] == (4, "w0 w1 w2 w3")
+    assert rows[("d1", 1)] == (4, "w2 w3 w4 w5")
+    assert rows[("d1", 2)] == (4, "w4 w5 w6 w7")
+    assert rows[("d1", 3)] == (4, "w6 w7 w8 w9")
+    assert ("d1", 4) not in rows
+    # short doc -> single chunk; whitespace-only -> no chunks
+    assert rows[("d2", 0)] == (2, "a b")
+    assert rows[("d4", 0)] == (1, "x")
+    assert not any(k[0] == "d3" for k in rows)
+
+
+def test_chunk_documents_reconstruction(spark):
+    """Dropping each chunk's first `overlap` tokens (except chunk 0)
+    and concatenating reconstructs the exact token stream — no token
+    lost or duplicated."""
+    from named_architecture_entity_recognition_spark.operators.corpus import (
+        chunk_documents,
+    )
+
+    toks = [f"t{i}" for i in range(57)]
+    df = spark.createDataFrame(
+        [("d", " ".join(toks))], "doc_id string, text string"
+    )
+    out = chunk_documents(df, max_tokens=16, overlap=5).orderBy("chunk_id")
+    rebuilt = []
+    for r in out.collect():
+        words = r.chunk_text.split(" ")
+        rebuilt.extend(words if r.chunk_id == 0 else words[5:])
+    assert rebuilt == toks
+
+
+def test_chunk_documents_validation_and_plan(spark):
+    import pytest as _pytest
+
+    from named_architecture_entity_recognition_spark.operators.corpus import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame([("d", "a b c")], "doc_id string, text string")
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, max_tokens=4, overlap=4)
+    out = chunk_documents(df)
+    simple = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    # narrow map + explode only: no shuffle, no Python
+    assert "Exchange" not in simple, simple
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in simple, simple
