@@ -392,6 +392,7 @@ def prepare_corpus(
     bands: int = 2,
     shingle_n: int = 3,
     max_bucket_size: int | None = None,
+    materialize_dir: str | None = None,
 ) -> DataFrame:
     """The composed data-prep pipeline a training corpus actually ships
     through: language filter -> quality filter -> exact dedup -> near-dup
@@ -411,10 +412,13 @@ def prepare_corpus(
 
     The lazy plan scans the corpus once per union branch (4 scans —
     visible in explain; Spark does NOT dedup them). Fine at test scale;
-    at 100 TB materialize the post-filter survivor table once (e.g. via
-    plans/lineage.py checkpointing, as the flagship does) and run the
-    dedup/split stages off that — the status rows per stage then each
-    read their own (much smaller) input exactly once.
+    at 100 TB pass ``materialize_dir``: each stage whose output feeds
+    TWO branches (flagged, ranked, clusters) is then written to a
+    parquet stage table once and read back, so the raw corpus is
+    scanned exactly once and every later stage reads its own (much
+    smaller) input exactly once — the same stage-table shape as
+    plans/lineage.py. Output identical either way (pytest-asserted);
+    the stage tables double as resume points.
     """
     from named_architecture_entity_recognition_spark.operators.textstats import (
         fingerprint,
@@ -422,13 +426,26 @@ def prepare_corpus(
         quality_score,
     )
 
+    def mat(df: DataFrame, name: str) -> DataFrame:
+        # stage-table materialization: cuts the re-scan every branch
+        # fork costs in the lazy plan, and truncates lineage (a failed
+        # executor replays one stage, not the whole funnel)
+        if materialize_dir is None:
+            return df
+        path = f"{materialize_dir}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+
     c = F.col(text_col)
     base = docs.select("doc_id", text_col)
-    flagged = base.withColumn(
-        "pre_reason",
-        F.when(~lang_id(c).isin(*lang_allow), F.lit("lang")).when(
-            quality_score(c) < F.lit(min_quality), F.lit("quality")
+    flagged = mat(
+        base.withColumn(
+            "pre_reason",
+            F.when(~lang_id(c).isin(*lang_allow), F.lit("lang")).when(
+                quality_score(c) < F.lit(min_quality), F.lit("quality")
+            ),
         ),
+        "flagged",
     )
     pre_drops = flagged.filter(F.col("pre_reason").isNotNull()).select(
         "doc_id", F.col("pre_reason").alias("status")
@@ -436,17 +453,23 @@ def prepare_corpus(
     surv1 = flagged.filter(F.col("pre_reason").isNull()).drop("pre_reason")
 
     w = Window.partitionBy("fp").orderBy("doc_id")
-    ranked = surv1.withColumn("fp", fingerprint(c)).withColumn(
-        "rn", F.row_number().over(w)
+    ranked = mat(
+        surv1.withColumn("fp", fingerprint(c)).withColumn(
+            "rn", F.row_number().over(w)
+        ),
+        "ranked",
     )
     exact_drops = ranked.filter(F.col("rn") > 1).select(
         "doc_id", F.lit("exact_dup").alias("status")
     )
     surv2 = ranked.filter(F.col("rn") == 1).select("doc_id", text_col)
 
-    clusters = dup_clusters(
-        surv2, text_col=text_col, n_hashes=n_hashes, bands=bands,
-        shingle_n=shingle_n, max_bucket_size=max_bucket_size,
+    clusters = mat(
+        dup_clusters(
+            surv2, text_col=text_col, n_hashes=n_hashes, bands=bands,
+            shingle_n=shingle_n, max_bucket_size=max_bucket_size,
+        ),
+        "clusters",
     )
     near_drops = clusters.filter(~F.col("keep")).select(
         "doc_id", F.lit("near_dup").alias("status")

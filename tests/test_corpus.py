@@ -532,3 +532,43 @@ def test_chunk_documents_validation_and_plan(spark):
     assert "Exchange" not in simple, simple
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in simple, simple
+
+
+def test_prepare_corpus_materialized_identical_and_single_raw_scan(
+    spark, tmp_path
+):
+    """materialize_dir: output row-identical to the lazy plan, and the
+    final union's plan reads stage parquet — the raw input appears in
+    NO branch (scanned exactly once, during the flagged stage write)."""
+    from named_architecture_entity_recognition_spark.operators.corpus import (
+        prepare_corpus,
+    )
+
+    rows = []
+    for i in range(60):
+        if i % 7 == 0:
+            rows.append((i, "le texte francais ici pour le filtre"))
+        elif i % 5 == 0:
+            rows.append((i, "the same duplicated body of text here"))
+        else:
+            rows.append((i, f"the document number {i} talks about the "
+                            f"system and its parts in detail"))
+    raw = spark.createDataFrame(rows, "doc_id int, text string")
+    src = str(tmp_path / "raw")
+    raw.write.parquet(src)
+    docs = spark.read.parquet(src)
+
+    lazy = {
+        (r.doc_id, r.status, r.split)
+        for r in prepare_corpus(docs, max_bucket_size=64).collect()
+    }
+    out = prepare_corpus(
+        docs, max_bucket_size=64, materialize_dir=str(tmp_path / "stages")
+    )
+    materialized = {(r.doc_id, r.status, r.split) for r in out.collect()}
+    assert materialized == lazy
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "stages/flagged" in plan or "stages/ranked" in plan, plan
+    assert src not in plan, "raw corpus still scanned by the final plan"
