@@ -237,3 +237,18 @@ def test_hot_bucket_cap_is_partial_agg_not_window(spark):
         # the cap itself: a partial hash aggregate feeding a LeftAnti
         assert "LeftAnti" in simple, simple
         assert "partial_count" in simple or "HashAggregate" in simple, simple
+
+
+def test_rollup_grouping_sets_single_pass(spark):
+    """ROLLUP must compile to ONE Expand + hash aggregate over one
+    scan — not a self-union of per-level aggregations."""
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    q = o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    simple = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "simple"
+    )
+    assert simple.count("Expand") == 1, simple
+    assert simple.count("Scan parquet") == 1 or simple.count("FileScan") == 1, simple
+    assert "Union" not in simple, simple
