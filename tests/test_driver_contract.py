@@ -1,45 +1,68 @@
-"""Driver-contract guard: entry() runs and has a stable schema; every
-queries() entry is callable at sf0.001; oracle_sql() keys line up with
-queries() (rows-only exceptions listed explicitly)."""
+"""Driver-contract invariants (CLAUDE.md): the per-round correctness
+run verifies only the FIRST 50 queries() keys, so the window's
+composition is load-bearing — r2 lost the flagship's external
+correctness signal to a silent mid-dict insert. Pin it mechanically."""
 
 import sys
 from pathlib import Path
-
-import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import __spark_entry__ as entrymod
 
-SF = "/root/testdata/sf0.001"
-
-#: operators with no SQL-expressible oracle. Since r2 only the media
-#: stub remains rows-only: the flagship pipeline, LSH ANN, SimHash and
-#: the P2 state machine are all value-oracled (md5-portable exprs or a
-#: provable reduction — see test_flagship_oracle.py).
-ROWS_ONLY = {
-    "q_media_features",
+# queries that must NEVER leave the driver's verification window:
+# the flagship pair, every reference-core §2 operator, and every query
+# that had not yet earneded a driver-green row as of round 3
+WINDOW_REQUIRED = {
+    # flagship
+    "q_naer_triples", "q_naer_entities",
+    # reference-core §2
+    "q_gazetteer_link_j4", "q_alias_cc_j3", "q_structured_parse_p2",
+    "q_json_parse_p1", "q_repair_parse", "q_answer_window_f4",
+    "q_validate_f1", "q_line_projection_f2", "q_reassemble_f3",
+    "q_none_filter_f5", "q_clean_name_f6", "q_lowercase_f7",
+    "q_change_name_p5", "q_prompt_assembly_p6", "q_charset_key_j1",
+    "q_jaccard_pairs_j1", "q_direct_classify_j2", "q_eval_pr_j5",
+    "q_eval_pr_complex", "q_group_collect_a1", "q_occurrence_lines_a2",
+    "q_dedup_a3", "q_set_ops", "q_argmax_window_a7",
+    # never driver-green before r3
+    "q_profile_table", "q_simhash", "q_simhash_pairs", "q_ann_lsh_topk",
+    "q_ann_ivf_topk", "q_media_decode", "q_media_features",
 }
 
 
-def test_entry_runs_with_stable_schema(spark):
-    df = entrymod.entry(spark)
-    assert df.columns == ["subj", "pred", "obj"]
-    assert df.count() >= 0
-
-
-def test_oracle_keys_match_queries():
-    q = set(entrymod.queries())
-    o = set(entrymod.oracle_sql())
-    assert o <= q, f"oracles without queries: {o - q}"
-    assert q - o == ROWS_ONLY, (
-        f"unexpected rows-only queries: {(q - o) ^ ROWS_ONLY}"
+def test_window_contains_flagship_and_core():
+    keys = list(entrymod.queries())
+    window = set(keys[:50])
+    missing = WINDOW_REQUIRED - window
+    assert not missing, (
+        f"queries() positions 1-50 lost required queries: {sorted(missing)}"
+        " — the driver will not re-verify them this round"
     )
 
 
-@pytest.mark.parametrize("name", sorted(entrymod.queries()))
-def test_query_is_lazy_and_well_formed(spark, name):
-    """Building the DataFrame (no execution) must succeed at sf0.001 —
-    catches schema drift against the driver tables early."""
-    df = entrymod.queries()[name](spark, SF)
-    assert len(df.columns) > 0
+def test_every_query_has_oracle_or_is_known_rows_only():
+    qs = set(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
+    rows_only = qs - oracles
+    assert rows_only == {"q_media_features"}, (
+        f"unexpected rows-only queries: {sorted(rows_only)} — every new "
+        "queries() key needs an oracle_sql() entry (or a recorded scope "
+        "decision here)"
+    )
+    dangling = oracles - qs
+    assert not dangling, f"oracle_sql() keys without queries(): {dangling}"
+
+
+def test_no_silent_window_shift_via_duplicate_keys():
+    """Python dicts keep the FIRST occurrence's position on key
+    re-assignment, so a duplicated literal in the queries() source
+    would silently shift the window. The dict API already dedupes, so
+    scan the source text."""
+    import re
+
+    src = Path(entrymod.__file__).read_text()
+    body = src.split("def queries()", 1)[1].split("def ", 1)[0]
+    keys = re.findall(r'"(q_\w+)":', body)
+    dupes = {k for k in keys if keys.count(k) > 1}
+    assert not dupes, f"duplicate keys in queries() source: {dupes}"
