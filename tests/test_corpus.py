@@ -572,3 +572,34 @@ def test_prepare_corpus_materialized_identical_and_single_raw_scan(
     )
     assert "stages/flagged" in plan or "stages/ranked" in plan, plan
     assert src not in plan, "raw corpus still scanned by the final plan"
+
+
+def test_chunk_documents_random_reconstruction(spark):
+    """Seeded random doc lengths x several (max_tokens, overlap)
+    configs: overlap-stripped concatenation must reconstruct the token
+    stream exactly in every case."""
+    import numpy as np
+
+    from named_architecture_entity_recognition_spark.operators.corpus import (
+        chunk_documents,
+    )
+
+    rng = np.random.RandomState(11)
+    lengths = [int(rng.randint(1, 400)) for _ in range(12)]
+    df = spark.createDataFrame(
+        [(f"d{j}", " ".join(f"w{j}_{i}" for i in range(n)))
+         for j, n in enumerate(lengths)],
+        "doc_id string, text string",
+    )
+    for max_tokens, overlap in ((8, 0), (16, 5), (64, 63), (512, 100)):
+        out = chunk_documents(df, max_tokens=max_tokens, overlap=overlap)
+        chunks: dict = {}
+        for r in out.collect():
+            chunks.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text
+        for j, n in enumerate(lengths):
+            want = [f"w{j}_{i}" for i in range(n)]
+            got = []
+            for cid in sorted(chunks[f"d{j}"]):
+                words = chunks[f"d{j}"][cid].split(" ")
+                got.extend(words if cid == 0 else words[overlap:])
+            assert got == want, (j, max_tokens, overlap)

@@ -263,3 +263,35 @@ def test_cohort_retention_approx_kmv(spark):
         assert abs(approx[cell] - n) <= max(tol * n, 1.0), (
             cell, n, approx[cell]
         )
+
+
+def test_funnel_kernels_agree_on_random_streams(spark):
+    """Randomized equivalence: 4 seeded random event streams (ties,
+    out-of-order types, users missing steps, duplicate timestamps) —
+    the join and array kernels must emit identical level maps on every
+    one, for both a 3-step and a 6-step funnel."""
+    import numpy as np
+
+    from named_architecture_entity_recognition_spark.operators.funnel import (
+        funnel_levels,
+        funnel_levels_array,
+    )
+
+    types3 = ["view", "click", "purchase"]
+    types6 = [f"s{i}" for i in range(6)]
+    for seed in range(4):
+        rng = np.random.RandomState(seed)
+        all_types = types3 + types6
+        rows = [
+            (f"u{int(rng.randint(0, 25))}",
+             all_types[int(rng.randint(0, len(all_types)))],
+             int(rng.randint(0, 5000)))
+            for _ in range(600)
+        ]
+        df = _ev(spark, rows)
+        for steps, win in ((types3, 900.0), (types6, 2500.0)):
+            a = {r.user_id: r.level
+                 for r in funnel_levels(df, steps, win).collect()}
+            b = {r.user_id: r.level
+                 for r in funnel_levels_array(df, steps, win).collect()}
+            assert a == b, (seed, steps)
