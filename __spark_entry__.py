@@ -530,6 +530,21 @@ def _pagerank_sql() -> str:
     )
 
 
+def _q_cooccur(spark, sf):
+    """Market-basket co-occurrence edges over (order, part) with the
+    hot-group guard engaged (groups > 6 items dropped via partial-agg
+    anti-join — mirrored in the oracle) and min_count=2 map-side-
+    combine pruning."""
+    from named_architecture_entity_recognition_spark.operators.graph import (
+        co_occurrence_edges,
+    )
+
+    li = _read(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    return co_occurrence_edges(
+        li, "l_orderkey", "l_partkey", min_count=2, max_group_size=6
+    )
+
+
 def _q_rollup_sets(spark, sf):
     """Multi-level ROLLUP aggregation (orderpriority x orderstatus ->
     subtotals -> grand total) in one pass — Catalyst expands grouping
@@ -1613,7 +1628,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_pairs": _q_lsh_pairs,
         "q_ngram_jaccard": _q_ngram_jaccard,
         "q_dup_clusters": _q_dup_clusters,
-        "q_embed_neardup": _q_embed_neardup,
         "q_ann_cosine_topk": _q_ann_cosine_topk,
         "q_prepare_corpus": _q_prepare_corpus,
         "q_bm25_topk": _q_bm25_topk,
@@ -1626,12 +1640,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_docs": _q_chunk_docs,
         "q_rollup_sets": _q_rollup_sets,
         "q_group_quantiles": _q_group_quantiles,
+        "q_cooccur": _q_cooccur,
         # ==== tail: driver-green record exists (CORRECTNESS_r01/r02);
         # ==== positions 51+ fall outside the driver's 50-query window
         "q_sample_mixture": _q_sample_mixture,
         "q_contamination": _q_contamination,
         "q_hash_split": _q_hash_split,
         "q_pack_sequences": _q_pack_sequences,
+        "q_embed_neardup": _q_embed_neardup,
         "q_asof_join": _q_asof_join,
         "q_range_join": _q_range_join,
         "q_pricing_summary": _q_pricing_summary,
@@ -2159,6 +2175,16 @@ def oracle_sql() -> dict[str, str]:
                 "FROM events GROUP BY 2, 3".format(g=g)
                 for g in ("hour", "day", "week")
             )
+        ),
+        "q_cooccur": (
+            "WITH gi AS (SELECT DISTINCT l_orderkey AS g, "
+            "l_partkey AS i FROM lineitem), "
+            "ok AS (SELECT g FROM gi GROUP BY g HAVING count(*) <= 6), "
+            "gi2 AS (SELECT gi.g, gi.i FROM gi JOIN ok USING (g)) "
+            "SELECT a.i AS item_a, b.i AS item_b, "
+            "count(*)::BIGINT AS n_groups "
+            "FROM gi2 a JOIN gi2 b ON a.g = b.g AND a.i < b.i "
+            "GROUP BY 1, 2 HAVING count(*) >= 2"
         ),
         "q_rollup_sets": (
             "SELECT o_orderpriority, o_orderstatus, "

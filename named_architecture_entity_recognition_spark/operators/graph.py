@@ -203,3 +203,51 @@ def triangle_count(
         .groupBy("vertex")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def co_occurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_count: int = 1,
+    max_group_size: int | None = None,
+) -> DataFrame:
+    """Weighted co-occurrence edges: (item_a, item_b, n_groups) for
+    every unordered item pair sharing a group, counted over distinct
+    (group, item) memberships — the market-basket / co-citation /
+    entity-co-mention primitive (also the edge generator for
+    triangle_count / PageRank over co-occurrence graphs).
+
+    Scale shape: pair fan-out is quadratic in GROUP SIZE, not corpus
+    size — a single viral group (a 10^6-item basket) emits 10^12
+    pairs. ``max_group_size`` is the guard: over-cap groups are
+    dropped via a groupBy partial-agg + anti-join (the dedup.py
+    hot-bucket pattern — never a window, so no task materializes the
+    hot group). Two shuffles total: the self equi-join on group and
+    the partial-agg pair count; ``min_count`` prunes after the
+    map-side combine.
+    """
+    gi = df.select(
+        F.col(group_col).alias("_g"), F.col(item_col).alias("_i")
+    ).dropDuplicates()
+    if max_group_size is not None:
+        over = (
+            gi.groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_group_size)
+            .select("_g")
+        )
+        gi = gi.join(over, "_g", "left_anti")
+    a, b = gi.alias("a"), gi.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._g") == F.col("b._g"))
+            & (F.col("a._i") < F.col("b._i")),
+        )
+        .groupBy(
+            F.col("a._i").alias("item_a"), F.col("b._i").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .filter(F.col("n_groups") >= min_count)
+    )

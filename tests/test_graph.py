@@ -126,3 +126,31 @@ def test_triangle_count_joins_are_equi_not_cartesian(spark):
     )
     assert "CartesianProduct" not in simple, simple
     assert "BroadcastNestedLoopJoin" not in simple, simple
+
+
+def test_co_occurrence_edges_counts_and_cap(spark):
+    """Pair counts over distinct memberships; duplicates within a
+    group count once; the hot-group cap drops the viral group via
+    anti-join (no Window in the plan)."""
+    from named_architecture_entity_recognition_spark.operators.graph import (
+        co_occurrence_edges,
+    )
+
+    rows = (
+        [("g1", x) for x in ("a", "b", "c")]
+        + [("g2", x) for x in ("a", "b")]
+        + [("g2", "a")]  # duplicate membership, counts once
+        + [("viral", f"v{i}") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "g string, item string")
+    out = co_occurrence_edges(df, "g", "item", max_group_size=5)
+    got = {(r.item_a, r.item_b): r.n_groups for r in out.collect()}
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+    simple = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "Window" not in simple, simple
+    assert "LeftAnti" in simple, simple
+    # min_count prunes
+    out2 = co_occurrence_edges(df, "g", "item", min_count=2, max_group_size=5)
+    assert {(r.item_a, r.item_b) for r in out2.collect()} == {("a", "b")}
