@@ -1,18 +1,35 @@
-"""Driver-contract invariants (CLAUDE.md): the per-round correctness
-run verifies only the FIRST 50 queries() keys, so the window's
-composition is load-bearing — r2 lost the flagship's external
-correctness signal to a silent mid-dict insert. Pin it mechanically."""
+"""Driver-contract guard: entry() runs and has a stable schema; every
+queries() entry is callable at sf0.001; oracle_sql() keys line up with
+queries() (rows-only exceptions listed explicitly); and (since r3) the
+FIRST-50 window composition is pinned — the driver's per-round
+correctness run verifies only the first 50 keys, and r2 lost the
+flagship's external correctness signal to a silent mid-dict insert."""
 
+import re
 import sys
 from pathlib import Path
+
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import __spark_entry__ as entrymod
 
-# queries that must NEVER leave the driver's verification window:
-# the flagship pair, every reference-core §2 operator, and every query
-# that had not yet earneded a driver-green row as of round 3
+SF = "/root/testdata/sf0.001"
+
+#: operators with no SQL-expressible oracle. Since r2 only the media
+#: stub remains rows-only: the flagship pipeline, LSH ANN, SimHash and
+#: the P2 state machine are all value-oracled (md5-portable exprs or a
+#: provable reduction — see test_flagship_oracle.py). q_media_features
+#: is additionally pinned by a golden value hash
+#: (test_streaming_media.py).
+ROWS_ONLY = {
+    "q_media_features",
+}
+
+#: queries that must NEVER leave the driver's 50-query verification
+#: window: the flagship pair, every reference-core §2 operator, and
+#: every query without a driver-green record as of round 3
 WINDOW_REQUIRED = {
     # flagship
     "q_naer_triples", "q_naer_entities",
@@ -31,6 +48,29 @@ WINDOW_REQUIRED = {
 }
 
 
+def test_entry_runs_with_stable_schema(spark):
+    df = entrymod.entry(spark)
+    assert df.columns == ["subj", "pred", "obj"]
+    assert df.count() >= 0
+
+
+def test_oracle_keys_match_queries():
+    q = set(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    assert o <= q, f"oracles without queries: {o - q}"
+    assert q - o == ROWS_ONLY, (
+        f"unexpected rows-only queries: {(q - o) ^ ROWS_ONLY}"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+def test_query_is_lazy_and_well_formed(spark, name):
+    """Building the DataFrame (no execution) must succeed at sf0.001 —
+    catches schema drift against the driver tables early."""
+    df = entrymod.queries()[name](spark, SF)
+    assert len(df.columns) > 0
+
+
 def test_window_contains_flagship_and_core():
     keys = list(entrymod.queries())
     window = set(keys[:50])
@@ -41,26 +81,11 @@ def test_window_contains_flagship_and_core():
     )
 
 
-def test_every_query_has_oracle_or_is_known_rows_only():
-    qs = set(entrymod.queries())
-    oracles = set(entrymod.oracle_sql())
-    rows_only = qs - oracles
-    assert rows_only == {"q_media_features"}, (
-        f"unexpected rows-only queries: {sorted(rows_only)} — every new "
-        "queries() key needs an oracle_sql() entry (or a recorded scope "
-        "decision here)"
-    )
-    dangling = oracles - qs
-    assert not dangling, f"oracle_sql() keys without queries(): {dangling}"
-
-
 def test_no_silent_window_shift_via_duplicate_keys():
     """Python dicts keep the FIRST occurrence's position on key
     re-assignment, so a duplicated literal in the queries() source
     would silently shift the window. The dict API already dedupes, so
     scan the source text."""
-    import re
-
     src = Path(entrymod.__file__).read_text()
     body = src.split("def queries()", 1)[1].split("def ", 1)[0]
     keys = re.findall(r'"(q_\w+)":', body)
