@@ -466,3 +466,72 @@ def test_simhash_hot_block_cap(spark):
         for r in simhash_pairs(docs, max_hamming=3, max_bucket_size=5).collect()
     }
     assert capped == {(100, 101)}
+
+
+def test_int8_quantization_codes_bounded_and_invertible(spark, embeddings):
+    """Codes live in [0, 255]; dequantization error per dimension is
+    bounded by half a quantization step ((mx-mn)/255/2 plus float
+    slack)."""
+    from named_architecture_entity_recognition_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    qz = quantize_int8(embeddings).collect()
+    assert qz, "empty quantization output"
+    for r in qz:
+        assert all(0 <= c <= 255 for c in r.codes)
+    row = qz[0]
+    raw = {r.vec_id: r.embedding for r in embeddings.collect()}
+    for r in qz:
+        for i, c in enumerate(r.codes):
+            step = (r.mx[i] - r.mn[i]) / 255.0
+            xhat = r.mn[i] + c * step
+            assert abs(xhat - raw[r.vec_id][i]) <= step / 2 + 1e-9
+
+
+def test_int8_topk_recall_vs_exact(spark, embeddings):
+    """Asymmetric 8-bit scoring must agree with exact top-k on at
+    least 4 of 5 neighbors per query on this corpus (SQ8's typical
+    recall is far higher; the floor just catches regressions), and
+    rank 1 (the planted self-match) must be identical."""
+    from named_architecture_entity_recognition_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_int8,
+    )
+
+    from pyspark.sql import functions as F
+
+    qs = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(embeddings, qs, k=5)
+    approx = cosine_topk_int8(embeddings, qs, k=5)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r.query_id, {})[r.rank] = r.neighbor_id
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r.query_id, {})[r.rank] = r.neighbor_id
+    assert set(ex) == set(ap)
+    for qid in ex:
+        assert ap[qid][1] == ex[qid][1], qid  # self-match survives
+        overlap = set(ex[qid].values()) & set(ap[qid].values())
+        assert len(overlap) >= 4, (qid, ex[qid], ap[qid])
+
+
+def test_int8_topk_no_python_in_plan(spark, embeddings):
+    from named_architecture_entity_recognition_spark.operators.similarity import (
+        cosine_topk_int8,
+    )
+
+    from pyspark.sql import functions as F
+
+    qs = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk_int8(embeddings, qs, k=3)
+    simple = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in simple, simple
