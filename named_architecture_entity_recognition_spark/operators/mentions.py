@@ -259,9 +259,22 @@ def detect_entities_df(
                 sents = sents.combine_chunks()
             offsets = sents.offsets.to_pylist()
             texts = sents.values.to_pylist()
-            cols = {k: [] for k in (
-                "doc_id", "name", "entity_type", "alternative_names", "occurrences"
-            )}
+            # columnar accumulation: nested columns as flat value lists
+            # + offset lists, assembled into Arrow List/Struct arrays
+            # directly — avoids one Python dict per occurrence (~18M at
+            # 144k docs) that RecordBatch.from_pydict then re-walks.
+            # On this synth corpus the stage stays matcher-CPU-bound
+            # (~6 ms/doc cold, measured single-task), so the win here
+            # is the serialization share, which grows on real corpora
+            # with higher per-worker line-cache hit rates.
+            col_doc: list = []
+            col_name: list = []
+            col_type: list = []
+            alt_flat: list = []
+            alt_off = [0]
+            occ_sent: list = []
+            occ_ref: list = []
+            occ_off = [0]
             for r, doc_id in enumerate(doc_ids):
                 lines = texts[offsets[r] : offsets[r + 1]]
                 if validate_format and any(
@@ -278,19 +291,37 @@ def detect_entities_df(
                 for acro, (name, _rx) in aliases.items():
                     alias_by_name.setdefault(name, set()).add(acro)
                 for name in sorted(occ_by_name):
-                    occs = sorted(occ_by_name[name])
-                    cols["doc_id"].append(doc_id)
-                    cols["name"].append(name)
-                    cols["entity_type"].append(
-                        name_to_type.get(name, "COMPONENT")
-                    )
-                    cols["alternative_names"].append(
-                        sorted(alias_by_name.get(name, ()))
-                    )
-                    cols["occurrences"].append(
-                        [{"sent_no": s, "ref_type": t} for s, t in occs]
-                    )
-            yield pa.RecordBatch.from_pydict(cols, schema=out_schema)
+                    col_doc.append(doc_id)
+                    col_name.append(name)
+                    col_type.append(name_to_type.get(name, "COMPONENT"))
+                    alt_flat.extend(sorted(alias_by_name.get(name, ())))
+                    alt_off.append(len(alt_flat))
+                    for s, t in sorted(occ_by_name[name]):
+                        occ_sent.append(s)
+                        occ_ref.append(t)
+                    occ_off.append(len(occ_sent))
+            occ_struct = pa.StructArray.from_arrays(
+                [
+                    pa.array(occ_sent, pa.int32()),
+                    pa.array(occ_ref, pa.string()),
+                ],
+                names=["sent_no", "ref_type"],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(col_doc, pa.string()),
+                    pa.array(col_name, pa.string()),
+                    pa.array(col_type, pa.string()),
+                    pa.ListArray.from_arrays(
+                        pa.array(alt_off, pa.int32()),
+                        pa.array(alt_flat, pa.string()),
+                    ),
+                    pa.ListArray.from_arrays(
+                        pa.array(occ_off, pa.int32()), occ_struct
+                    ),
+                ],
+                schema=out_schema,
+            )
 
     sents = F.transform(
         F.filter(
