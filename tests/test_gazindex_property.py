@@ -125,3 +125,43 @@ def test_candidates_deterministic_and_ordered(names, line):
     assert c1 == c2
     order = {e.name: i for i, e in enumerate(gaz)}
     assert c1 == sorted(c1, key=order.__getitem__)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",)
+            ),
+            max_size=120,
+        ),
+        max_size=12,
+    )
+)
+def test_detect_doc_never_crashes_and_emits_valid_rows(lines):
+    """Fuzz the cold path with arbitrary unicode lines (control chars,
+    emoji, RTL, empties): detect_doc must never raise, and every
+    emitted mention must reference a real 1-indexed line, a gazetteer
+    name, and a valid ref type."""
+    from named_architecture_entity_recognition_spark.operators.matching import (
+        MatcherConfig,
+        compile_gazetteer,
+        detect_doc,
+    )
+
+    cfg = MatcherConfig()
+    names = ["QuantumRouter", "Aurora Client", "KYBER", "Storage"]
+    gaz = compile_gazetteer(names, cfg)
+    mentions, aliases = detect_doc(lines, gaz, cfg)
+    for sent_no, name, ref, rule in mentions:
+        assert 1 <= sent_no <= len(lines)
+        assert name in names
+        assert ref in ("DIRECT", "INDIRECT")
+        assert isinstance(rule, str) and rule
+    for acro, (name, _rx) in aliases.items():
+        assert name in names and acro
