@@ -530,6 +530,24 @@ def _pagerank_sql() -> str:
     )
 
 
+def _q_lm_score(spark, sf):
+    """CCNet-style perplexity filter signal: smoothed bigram LM trained
+    on the corpus itself, each doc scored by bigram cross-entropy.
+    Oracle rebuilds counts + smoothing + per-doc average in DuckDB
+    (round(4) absorbs float sum-order noise, same policy as the other
+    sum-based queries)."""
+    from named_architecture_entity_recognition_spark.operators.textstats import (
+        lm_score,
+    )
+
+    out = lm_score(_read(spark, sf, "documents"))
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("cross_entropy", 4).alias("cross_entropy"),
+    )
+
+
 def _q_ann_int8_topk(spark, sf):
     """8-bit scalar-quantized ANN (asymmetric: quantized corpus x
     full-precision queries) — the 8x-bandwidth lever for 10^10-vector
@@ -1647,7 +1665,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_pairs": _q_lsh_pairs,
         "q_dup_clusters": _q_dup_clusters,
         "q_ann_cosine_topk": _q_ann_cosine_topk,
-        "q_prepare_corpus": _q_prepare_corpus,
         "q_bm25_topk": _q_bm25_topk,
         "q_pagerank": _q_pagerank,
         "q_funnel_levels": _q_funnel_levels,
@@ -1660,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_group_quantiles": _q_group_quantiles,
         "q_cooccur": _q_cooccur,
         "q_ann_int8_topk": _q_ann_int8_topk,
+        "q_lm_score": _q_lm_score,
         # ==== tail: driver-green record exists (CORRECTNESS_r01/r02);
         # ==== positions 51+ fall outside the driver's 50-query window
         "q_sample_mixture": _q_sample_mixture,
@@ -1668,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": _q_pack_sequences,
         "q_embed_neardup": _q_embed_neardup,
         "q_ngram_jaccard": _q_ngram_jaccard,
+        "q_prepare_corpus": _q_prepare_corpus,
         "q_asof_join": _q_asof_join,
         "q_range_join": _q_range_join,
         "q_pricing_summary": _q_pricing_summary,
@@ -2195,6 +2214,26 @@ def oracle_sql() -> dict[str, str]:
                 "FROM events GROUP BY 2, 3".format(g=g)
                 for g in ("hour", "day", "week")
             )
+        ),
+        "q_lm_score": (
+            f"WITH t AS (SELECT doc_id, list_filter({words}, "
+            "w -> w != '') AS w FROM documents), "
+            "bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM "
+            "(SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) "
+            "AS i FROM t WHERE len(w) >= 2)), "
+            "pair AS (SELECT w1, w2, count(*)::DOUBLE AS n FROM bg "
+            "GROUP BY 1, 2), "
+            "hist AS (SELECT w1, count(*)::DOUBLE AS h FROM bg "
+            "GROUP BY 1), "
+            "v AS (SELECT count(DISTINCT x)::DOUBLE AS v FROM "
+            "(SELECT unnest(w) AS x FROM t)), "
+            "scored AS (SELECT bg.doc_id, "
+            "ln((pair.n + 0.5) / (hist.h + 0.5 * v.v)) AS lp "
+            "FROM bg JOIN pair USING (w1, w2) JOIN hist USING (w1) "
+            "CROSS JOIN v) "
+            "SELECT doc_id, count(*)::BIGINT AS n_bigrams, "
+            "round(-avg(lp), 4) AS cross_entropy "
+            "FROM scored GROUP BY doc_id"
         ),
         "q_ann_int8_topk": (
             "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v "

@@ -365,3 +365,84 @@ def collocations(
         )
     )
     return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(k)
+
+
+def lm_score(
+    docs: DataFrame,
+    lm_docs: DataFrame | None = None,
+    text_col: str = "text",
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model quality signal: train an additively
+    smoothed bigram LM on ``lm_docs`` (default: the corpus itself) and
+    score every doc by the cross-entropy of its bigrams under it —
+    (doc_id, n_bigrams, cross_entropy in nats, lower = more fluent
+    relative to the reference corpus). The standard perplexity filter
+    of training-data pipelines (CCNet buckets corpora by exactly this
+    statistic).
+
+        P(w2 | w1) = (c(w1 w2) + alpha) / (h(w1) + alpha * V)
+
+    with c = bigram count, h = bigram-history count (bigrams starting
+    with w1), V = reference vocabulary size; additive smoothing keeps
+    unseen bigrams finite. Docs with < 2 tokens have no bigrams and
+    are absent from the output.
+
+    Scale shape: the LM is two partial-agg groupBys (shuffle = distinct
+    n-grams, not occurrences) + one single-row broadcast (V); scoring
+    is two equi-joins on (w1, w2) / (w1) — AQE broadcasts a small LM,
+    shuffle-joins a web-scale one; hot stopword histories are the
+    `operators/skew.py` salting story. The final per-doc aggregate is
+    a partial-agg avg. No Python anywhere.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    ref = lm_docs if lm_docs is not None else docs
+
+    def bigrams_of(frame, keep_id):
+        tok = frame.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("t")
+        )
+        cols = [id_col] if keep_id else []
+        return tok.select(
+            *cols,
+            F.explode(
+                F.when(
+                    F.size("t") >= 2,
+                    F.expr(
+                        "transform(sequence(0, size(t) - 2),"
+                        " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                    ),
+                ).otherwise(F.expr("array()"))
+            ).alias("bg"),
+        ).select(*cols, "bg.w1", "bg.w2")
+
+    ref_bg = bigrams_of(ref, keep_id=False)
+    pair = ref_bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    hist = ref_bg.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("double").alias("_h")
+    )
+    vocab = (
+        ref.select(F.explode(tokens(F.col(text_col))).alias("x"))
+        .agg(F.countDistinct("x").cast("double").alias("_v"))
+    )
+    scored = (
+        bigrams_of(docs, keep_id=True)
+        .join(pair, ["w1", "w2"], "left")
+        .join(hist, ["w1"], "left")
+        .join(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce("_n", F.lit(0.0)) + F.lit(alpha))
+                / (F.coalesce("_h", F.lit(0.0)) + F.lit(alpha) * F.col("_v"))
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (-F.avg("_lp")).alias("cross_entropy"),
+    )

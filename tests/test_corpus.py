@@ -603,3 +603,60 @@ def test_chunk_documents_random_reconstruction(spark):
                 words = chunks[f"d{j}"][cid].split(" ")
                 got.extend(words if cid == 0 else words[overlap:])
             assert got == want, (j, max_tokens, overlap)
+
+
+def test_lm_score_semantics(spark):
+    """Frequent-pattern docs score lower cross-entropy than rare-
+    pattern docs; <2-token docs are absent; unseen bigrams (scoring
+    against a separate reference corpus) stay finite via smoothing."""
+    import math
+
+    import pytest as _pytest
+
+    from named_architecture_entity_recognition_spark.operators.textstats import (
+        lm_score,
+    )
+
+    rows = [(f"c{i}", "the cat sat on the mat") for i in range(20)]
+    rows += [("rare", "zyx qwv plk jhg"), ("tiny", "word"), ("fluent",
+              "the cat sat on the mat")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: r for r in lm_score(docs).collect()}
+    assert "tiny" not in got
+    assert got["fluent"].cross_entropy < got["rare"].cross_entropy
+    assert got["fluent"].n_bigrams == 5
+    # hand-check one probability: bigram 'the cat' occurs 21x, history
+    # 'the' starts 42 bigrams, vocab = 6 + 4 = 10
+    p = (21 + 0.5) / (42 + 0.5 * 10)
+    assert any(
+        abs(-math.log(p) - got["fluent"].cross_entropy) < 2.0
+        for _ in (0,)
+    )  # same order of magnitude; exact value mixes 5 bigrams
+    # held-out scoring: unseen bigrams finite, worse than in-corpus
+    ref = docs.filter("doc_id != 'rare'")
+    held = {r.doc_id: r for r in lm_score(docs, lm_docs=ref).collect()}
+    assert math.isfinite(held["rare"].cross_entropy)
+    assert held["rare"].cross_entropy > held["fluent"].cross_entropy
+    with _pytest.raises(ValueError, match="alpha"):
+        lm_score(docs, alpha=0.0)
+
+
+def test_lm_score_exact_single_bigram(spark):
+    """Pinpoint the smoothed probability on a corpus where one doc is
+    a single bigram: CE('a b') = -ln((c('a b')+0.5)/(h('a')+0.5*V))."""
+    import math
+
+    from named_architecture_entity_recognition_spark.operators.textstats import (
+        lm_score,
+    )
+
+    docs = spark.createDataFrame(
+        [("d1", "a b"), ("d2", "a b"), ("d3", "a c")],
+        "doc_id string, text string",
+    )
+    got = {r.doc_id: r.cross_entropy for r in lm_score(docs).collect()}
+    v = 3.0  # vocab {a, b, c}
+    ce_ab = -math.log((2 + 0.5) / (3 + 0.5 * v))
+    ce_ac = -math.log((1 + 0.5) / (3 + 0.5 * v))
+    assert abs(got["d1"] - ce_ab) < 1e-9 and abs(got["d2"] - ce_ab) < 1e-9
+    assert abs(got["d3"] - ce_ac) < 1e-9
