@@ -39,26 +39,38 @@ def read_documents(spark: SparkSession, source: str) -> DataFrame:
     return spark.read.parquet(source)
 
 
-def write_triples(triples: DataFrame, target: str) -> None:
-    """Write (subj, pred, obj): Iceberg `writeTo` with hidden
-    partitioning when available, else parquet partitioned by pred with
-    an explicit subj bucket column (same pruning behavior for readers
-    that filter on pred / subj_bucket)."""
+def subj_bucket_col(n_buckets: int = N_SUBJ_BUCKETS):
+    """The parquet-fallback bucket expression for subj. Readers prune
+    with `filter(subj_bucket == subj_bucket_value(s))`; both sides use
+    the same xxhash64-pmod so the contract is one function."""
+    return F.pmod(F.xxhash64("subj"), F.lit(n_buckets)).cast("int")
+
+
+def write_triples(
+    triples: DataFrame, target: str, n_buckets: int = N_SUBJ_BUCKETS
+) -> None:
+    """Write (subj, pred, obj) — the S7 sink (reference returns its
+    entity set to the caller, `recognizer/NamedEntityRecognizer.java:57-81`;
+    at 10^12 docs the "caller" is a partitioned lakehouse table).
+
+    Iceberg branch (jar present): `writeTo` with hidden partitioning
+    `(pred, bucket(subj))`. Parquet fallback (this sandbox): the SAME
+    layout semantics executed via directory partitioning on
+    `(pred, subj_bucket)` — a reader filtering on pred or on the bucket
+    of a subject touches only its partition directories (asserted by
+    input-file-count pruning tests in tests/test_sources.py)."""
     spark = triples.sparkSession
     if "/" not in target and iceberg_available(spark):
         (
             triples.writeTo(target)
-            .partitionedBy(F.col("pred"), F.bucket(N_SUBJ_BUCKETS, F.col("subj")))
+            .partitionedBy(F.col("pred"), F.bucket(n_buckets, F.col("subj")))
             .createOrReplace()
         )
         return
     (
-        triples.withColumn(
-            "subj_bucket",
-            F.pmod(F.xxhash64("subj"), F.lit(N_SUBJ_BUCKETS)).cast("int"),
-        )
+        triples.withColumn("subj_bucket", subj_bucket_col(n_buckets))
         .write.mode("overwrite")
-        .partitionBy("pred")
+        .partitionBy("pred", "subj_bucket")
         .parquet(target)
     )
 
@@ -75,9 +87,14 @@ def compact_table(
     target: str,
     target_mb: int = 128,
 ) -> dict:
-    """Rewrite a parquet directory into ~``target_mb``-sized files —
-    the lakehouse small-file maintenance job (Iceberg's rewrite_data_files
-    when the runtime jar is present; plain parquet rewrite otherwise).
+    """Rewrite a LOCAL parquet directory into ~``target_mb``-sized
+    files — the lakehouse small-file maintenance job. This is the plain
+    parquet form; on an Iceberg deployment the equivalent operation is
+    the `rewrite_data_files` procedure (not dispatched here — the
+    sandbox has no runtime jar, and Iceberg compaction is a catalog
+    procedure call, not a DataFrame job). Input sizing uses local
+    ``Path`` stats, so object-store/HDFS URIs are rejected explicitly
+    rather than mis-reporting bytes_in=0.
 
     Why it exists here: long-running ingest jobs accumulate small
     files, and Spark's FilePartition packing then silently bins them
@@ -94,7 +111,12 @@ def compact_table(
     import math
     from pathlib import Path
 
-    src = Path(source)
+    if "://" in source and not source.startswith("file://"):
+        raise ValueError(
+            f"compact_table sizes input via local filesystem stats; "
+            f"got non-local URI {source!r}"
+        )
+    src = Path(source.removeprefix("file://"))
     data_files = [p for p in src.rglob("*.parquet")]
     bytes_in = sum(p.stat().st_size for p in data_files)
     df = spark.read.parquet(source)
