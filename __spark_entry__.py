@@ -1406,12 +1406,16 @@ def _q_repair_parse(spark, sf):
 def _q_media_features(spark, sf):
     """Multimodal plumbing: interleave deterministic media spans, extract
     (width, height, embedding) via the Arrow-batched fake decoder
-    (operators/media.py; real decoders are the integration point)."""
+    (operators/media.py; real decoders are the integration point).
+    Since r4 the fake features are md5-derived (engine-portable), so
+    this query is fully value-oracled: DuckDB recomputes width/height
+    and the first two embedding components (emitted as scalar doubles —
+    the driver's canonicalizer cannot hash list cells)."""
     from named_architecture_entity_recognition_spark.operators.media import (
         extract_media_features,
     )
 
-    flat = _read(spark, sf, "documents").limit(200)
+    flat = _read(spark, sf, "documents").filter(F.col("doc_id") < 200)
     docs = flat.select(
         F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("doc_id"),
         F.array(
@@ -1432,7 +1436,14 @@ def _q_media_features(spark, sf):
         ).alias("spans"),
     )
     feats = extract_media_features(docs, dim=8)
-    return feats.select("doc_id", "media_ref", "width", "height")
+    return feats.select(
+        "doc_id",
+        "media_ref",
+        "width",
+        "height",
+        F.element_at("embedding", 1).cast("double").alias("emb_0"),
+        F.element_at("embedding", 2).cast("double").alias("emb_1"),
+    )
 
 
 def _q_media_decode(spark, sf):
@@ -1613,20 +1624,146 @@ def _q_brand_volume(spark, sf):
     )
 
 
+#: The driver's per-round correctness run verifies only the FIRST
+#: ``WINDOW_SIZE`` keys of queries().
+WINDOW_SIZE = 50
+
+#: Permanently pinned to the head of the verification window: the
+#: flagship pair + every reference-core §2 operator (CLAUDE.md
+#: invariant — these must re-earn a driver-green row EVERY round).
+WINDOW_PINNED = [
+    # flagship KG construction (L1, SURVEY §2.7)
+    "q_naer_triples",
+    "q_naer_entities",
+    # reference-core §2 operators
+    "q_gazetteer_link_j4",
+    "q_alias_cc_j3",
+    "q_structured_parse_p2",
+    "q_json_parse_p1",
+    "q_repair_parse",
+    "q_answer_window_f4",
+    "q_validate_f1",
+    "q_line_projection_f2",
+    "q_reassemble_f3",
+    "q_none_filter_f5",
+    "q_clean_name_f6",
+    "q_lowercase_f7",
+    "q_change_name_p5",
+    "q_prompt_assembly_p6",
+    "q_charset_key_j1",
+    "q_jaccard_pairs_j1",
+    "q_direct_classify_j2",
+    "q_eval_pr_j5",
+    "q_eval_pr_complex",
+    "q_group_collect_a1",
+    "q_occurrence_lines_a2",
+    "q_dedup_a3",
+    "q_set_ops",
+    "q_argmax_window_a7",
+]
+
+#: Rotation schedule (since r4): the remaining window slots go to the
+#: STALEST extras — sorted by (last hash-green round, name). A query
+#: absent here (or 0) has never been hash-green and enters the window
+#: immediately (new queries need no manual placement). Refreshed each
+#: round from the committed CORRECTNESS_r0N.json artifacts; the window
+#: composition is asserted against those same artifacts in
+#: tests/test_driver_contract.py, so a stale table fails a test, not a
+#: round. With 24 rotation slots over 36 r1/r2-stale extras, every
+#: extra regains a driver-green row within two rounds.
+WINDOW_AS_OF_ROUND = 3
+LAST_HASH_GREEN = {
+    # last hash-green in round 1
+    "q_brand_volume": 1,
+    "q_embed_neardup": 1,
+    "q_salted_count_skew": 1,
+    "q_salted_join_skew": 1,
+    "q_sessionize": 1,
+    "q_windowed_events": 1,
+    # last hash-green in round 2
+    "q_asof_join": 2,
+    "q_cdc_latest": 2,
+    "q_cohort_retention": 2,
+    "q_collocations": 2,
+    "q_contamination": 2,
+    "q_events_rollup": 2,
+    "q_fingerprint": 2,
+    "q_hash_split": 2,
+    "q_heavy_hitters": 2,
+    "q_kmv_distinct": 2,
+    "q_lang_id": 2,
+    "q_ngram_jaccard": 2,
+    "q_pack_sequences": 2,
+    "q_prepare_corpus": 2,
+    "q_pricing_summary": 2,
+    "q_quality": 2,
+    "q_range_join": 2,
+    "q_redact_pii": 2,
+    "q_repetition": 2,
+    "q_revenue_by_nation": 2,
+    "q_rollup_hypertable": 2,
+    "q_sample_mixture": 2,
+    "q_scd2_history": 2,
+    "q_segment_top_customer": 2,
+    "q_stable_row_ids": 2,
+    "q_stratified_sample": 2,
+    "q_token_count": 2,
+    "q_vocab_topk": 2,
+    "q_weighted_sample": 2,
+    "q_zorder_key": 2,
+    # last hash-green in round 3 (non-pinned only; the pinned core's
+    # greens are irrelevant to rotation)
+    "q_ann_cosine_topk": 3,
+    "q_ann_int8_topk": 3,
+    "q_ann_ivf_topk": 3,
+    "q_ann_lsh_topk": 3,
+    "q_bm25_topk": 3,
+    "q_chunk_docs": 3,
+    "q_cohort_retention_approx": 3,
+    "q_cooccur": 3,
+    "q_dup_clusters": 3,
+    "q_exact_dedup": 3,
+    "q_funnel_array": 3,
+    "q_funnel_levels": 3,
+    "q_group_quantiles": 3,
+    "q_lm_score": 3,
+    "q_lsh_pairs": 3,
+    "q_media_decode": 3,
+    "q_minhash_sig": 3,
+    "q_pagerank": 3,
+    "q_profile_table": 3,
+    "q_rollup_sets": 3,
+    "q_simhash": 3,
+    "q_simhash_pairs": 3,
+    "q_triangles": 3,
+    # q_media_features: rows-only in r1-r3, hash-green NEVER -> absent
+    # (sorts first among extras, enters the r4 window automatically)
+}
+
+
+def window_order(keys) -> list:
+    """The load-bearing queries() ordering: pinned head, then extras by
+    staleness (never-hash-green first, then oldest green round, name as
+    the tiebreak). Deterministic and total over ``keys``."""
+    extras = [k for k in keys if k not in WINDOW_PINNED]
+    return WINDOW_PINNED + sorted(
+        extras, key=lambda k: (LAST_HASH_GREEN.get(k, 0), k)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-contract queries. ORDERING IS LOAD-BEARING: the driver's
-    per-round correctness run verifies the FIRST 50 keys only, so the
-    flagship pair, every reference-core §2 operator, and every query
-    that has not yet earned a driver-green row come first; extras whose
-    driver-green record already exists (CORRECTNESS_r01/r02) sit in the
-    tail. New queries must be inserted BEFORE the tail marker, never
-    mid-core (round-2 lesson: mid-dict inserts silently pushed the
-    flagship out of the verification window)."""
-    return {
-        # --- flagship KG construction (L1, SURVEY §2.7) ---
+    per-round correctness run verifies the FIRST 50 keys only. The
+    order is computed, not positional: WINDOW_PINNED (flagship +
+    reference-core, always re-verified) followed by every other query
+    sorted stalest-first per LAST_HASH_GREEN — so new queries enter the
+    window automatically and previously-green extras rotate through the
+    spare slots round-robin (the r2 lesson — a silent mid-dict insert
+    once pushed the flagship out — can no longer happen by
+    construction; see tests/test_driver_contract.py)."""
+    q = {
         "q_naer_triples": _q_naer_triples,
         "q_naer_entities": _q_naer_entities,
-        # --- reference-core §2 operators ---
         "q_gazetteer_link_j4": _q_gazetteer_link_j4,
         "q_alias_cc_j3": _q_alias_cc_j3,
         "q_structured_parse_p2": _q_structured_parse_p2,
@@ -1651,7 +1788,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_a3": _q_dedup_a3,
         "q_set_ops": _q_set_ops,
         "q_argmax_window_a7": _q_argmax_window_a7,
-        # --- never-driver-green yet (r1 FAILs fixed in r2 + r2 fix) ---
         "q_profile_table": _q_profile_table,
         "q_simhash": _q_simhash,
         "q_simhash_pairs": _q_simhash_pairs,
@@ -1659,7 +1795,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf_topk": _q_ann_ivf_topk,
         "q_media_decode": _q_media_decode,
         "q_media_features": _q_media_features,
-        # --- beyond-reference headliners (re-verified each round) ---
         "q_exact_dedup": _q_exact_dedup,
         "q_minhash_sig": _q_minhash_sig,
         "q_lsh_pairs": _q_lsh_pairs,
@@ -1668,7 +1803,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_topk": _q_bm25_topk,
         "q_pagerank": _q_pagerank,
         "q_funnel_levels": _q_funnel_levels,
-        # --- new in round 3 ---
         "q_funnel_array": _q_funnel_array,
         "q_cohort_retention_approx": _q_cohort_retention_approx,
         "q_triangles": _q_triangles,
@@ -1678,8 +1812,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cooccur": _q_cooccur,
         "q_ann_int8_topk": _q_ann_int8_topk,
         "q_lm_score": _q_lm_score,
-        # ==== tail: driver-green record exists (CORRECTNESS_r01/r02);
-        # ==== positions 51+ fall outside the driver's 50-query window
         "q_sample_mixture": _q_sample_mixture,
         "q_contamination": _q_contamination,
         "q_hash_split": _q_hash_split,
@@ -1717,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_windowed_events": _q_windowed_events,
         "q_sessionize": _q_sessionize,
     }
+    return {k: q[k] for k in window_order(q)}
 
 
 def _redact_pii_sql() -> str:
@@ -2642,6 +2775,26 @@ def oracle_sql() -> dict[str, str]:
             "json_extract_string(payload, '$[0].type') AS entity_type FROM p "
             "WHERE json_extract_string(payload, '$[0].type') IN "
             "('COMPONENT','INTERFACE','CLASS')"
+        ),
+        "q_media_features": (
+            # the fake decoder is md5-derived (operators/media.py
+            # _fake_decode), so DuckDB recomputes every value: exact
+            # integer/dyadic-rational double arithmetic + one IEEE
+            # float32 rounding (::REAL) replicated per component
+            "WITH m AS (SELECT 'doc' || doc_id::VARCHAR AS doc_id, "
+            "'image' AS kind, 1 AS offset, "
+            "'media://' || doc_id::VARCHAR AS media_ref "
+            "FROM documents WHERE doc_id < 200) "
+            "SELECT doc_id, media_ref, "
+            "(64 + ('0x' || substr(md5(media_ref), 1, 4))::UBIGINT % 1984)"
+            "::INT AS width, "
+            "(64 + ('0x' || substr(md5(media_ref), 5, 4))::UBIGINT % 1984)"
+            "::INT AS height, "
+            "(((('0x' || substr(md5(media_ref || ':0'), 1, 8))::UBIGINT "
+            "/ 4294967296.0) * 2 - 1)::REAL)::DOUBLE AS emb_0, "
+            "(((('0x' || substr(md5(media_ref || ':1'), 1, 8))::UBIGINT "
+            "/ 4294967296.0) * 2 - 1)::REAL)::DOUBLE AS emb_1 "
+            "FROM m"
         ),
         "q_media_decode": (
             # inverse-function oracle: the PPM decoder must recover the

@@ -60,13 +60,30 @@ def media_spans(docs: DataFrame) -> DataFrame:
 
 def _fake_decode(media_ref: str, dim: int):
     """Deterministic stand-in for image decode + embedding: features are
-    a pure function of the media_ref bytes."""
-    h = hashlib.sha256(media_ref.encode()).digest()
-    rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
-    width = 64 + int.from_bytes(h[4:6], "big") % 1984
-    height = 64 + int.from_bytes(h[6:8], "big") % 1984
-    vec = rng.standard_normal(dim).astype(np.float32)
-    vec /= np.linalg.norm(vec)
+    a pure function of the media_ref via md5 — ENGINE-PORTABLE, so an
+    external SQL oracle (DuckDB) recomputes every value bit-for-bit:
+
+      width    = 64 + hex(md5(ref)[0:4])  % 1984
+      height   = 64 + hex(md5(ref)[4:8])  % 1984
+      embed[i] = float32(hex(md5(ref || ':' || i)[0:8]) / 2^32 * 2 - 1)
+
+    The double arithmetic is exact (32-bit ints over power-of-two
+    denominators) and the final float32 rounding is IEEE
+    round-to-nearest in both engines, so q_media_features is fully
+    value-oracled. Components are uniform in [-1, 1); consumers needing
+    unit vectors normalize downstream."""
+    h = hashlib.md5(media_ref.encode()).hexdigest()
+    width = 64 + int(h[0:4], 16) % 1984
+    height = 64 + int(h[4:8], 16) % 1984
+    vec = [
+        np.float32(
+            int(hashlib.md5(f"{media_ref}:{i}".encode()).hexdigest()[:8], 16)
+            / 4294967296.0
+            * 2.0
+            - 1.0
+        )
+        for i in range(dim)
+    ]
     return width, height, [float(x) for x in vec]
 
 

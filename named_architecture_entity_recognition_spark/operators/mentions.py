@@ -198,25 +198,26 @@ def detect_mentions_df(
     return slim.mapInArrow(process, schema=MENTIONS)
 
 
-def detect_entities_df(
-    docs: DataFrame,
-    gazetteer_names,
-    cfg: MatcherConfig | None = None,
-    validate_format: bool = False,
-) -> DataFrame:
-    """documents -> entities (schema.ENTITIES) with the A1-A4 grouping
-    FUSED into the detection pass: entities are (doc_id, name)-local and
-    every document lives wholly inside one task, so grouping inside the
-    worker removes the corpus-wide mention shuffle entirely — the
-    flagship plan has ZERO exchanges (asserted in test_plan_quality).
+def _entity_process_factory(
+    cfg: MatcherConfig,
+    name_to_type: dict,
+    validate_format: bool,
+    default_names: tuple = (),
+    gaz_map: dict | None = None,
+    names_in_batch: bool = False,
+):
+    """Build the Arrow entity-detection kernel. Two dictionary
+    transports share this one kernel (parity-tested):
 
-    Semantics identical to ``assemble_entities(detect_mentions_df(...))``
-    (equivalence-tested): occurrences sorted by (sent_no, ref_type) like
-    the reference's TreeSet<Occurrence> (model/NamedEntity.java:192-198),
-    aliases sorted distinct, alias-only groups dropped.
+    - closure (``default_names``/``gaz_map``): the dictionary rides in
+      the task binary — right for corpus-wide or few-project lists.
+    - ``names_in_batch``: each batch row carries its own ``names``
+      list column, produced by a doc_id-local JOIN against a
+      ``(doc_id, name)`` dictionary TABLE — the 100×-scale form: with
+      10^9 docs × doc-specific dictionaries, closure shipping is
+      O(all dictionaries) serialized into every task; the join ships
+      each doc only its own names (see detect_entities_df_joined).
     """
-    cfg = cfg or MatcherConfig()
-    default_names, gaz_map, name_to_type = normalize_gazetteer(gazetteer_names)
 
     def process(batches):
         import gc
@@ -259,6 +260,9 @@ def detect_entities_df(
                 sents = sents.combine_chunks()
             offsets = sents.offsets.to_pylist()
             texts = sents.values.to_pylist()
+            row_names = (
+                batch.column("names").to_pylist() if names_in_batch else None
+            )
             # columnar accumulation: nested columns as flat value lists
             # + offset lists, assembled into Arrow List/Struct arrays
             # directly — avoids one Python dict per occurrence (~18M at
@@ -281,7 +285,14 @@ def detect_entities_df(
                     not _line_is_valid(ln) for ln in lines
                 ):
                     continue  # quarantined (F1): no entities from this doc
-                names = gaz_map.get(doc_id, default_names) if gaz_map else default_names
+                if names_in_batch:
+                    names = tuple(row_names[r]) if row_names[r] else ()
+                else:
+                    names = (
+                        gaz_map.get(doc_id, default_names)
+                        if gaz_map
+                        else default_names
+                    )
                 gaz = _compiled_gaz(names, cfg)
                 mentions, aliases = detect_doc(lines, gaz, cfg)
                 occ_by_name: dict = {}
@@ -323,7 +334,17 @@ def detect_entities_df(
                 schema=out_schema,
             )
 
-    sents = F.transform(
+    return process
+
+
+def _sents_expr():
+    """Project the text sentences out of the interleaved span structs
+    JVM-side. Only spans.text / spans.kind are referenced
+    (GetArrayStructFields) so nested schema pruning reaches the parquet
+    scan: ReadSchema becomes struct<kind,text> — media_ref/offset bytes
+    are never decoded. (filter(spans, s -> ...) over the whole struct
+    defeats pruning.)"""
+    return F.transform(
         F.filter(
             F.zip_with(
                 F.col("spans").getField("text"),
@@ -334,5 +355,137 @@ def detect_entities_df(
         ),
         lambda x: x["t"],
     )
-    slim = docs.select("doc_id", sents.alias("sents"))
+
+
+def detect_entities_df(
+    docs: DataFrame,
+    gazetteer_names,
+    cfg: MatcherConfig | None = None,
+    validate_format: bool = False,
+) -> DataFrame:
+    """documents -> entities (schema.ENTITIES) with the A1-A4 grouping
+    FUSED into the detection pass: entities are (doc_id, name)-local and
+    every document lives wholly inside one task, so grouping inside the
+    worker removes the corpus-wide mention shuffle entirely — the
+    flagship plan has ZERO exchanges (asserted in test_plan_quality).
+
+    Semantics identical to ``assemble_entities(detect_mentions_df(...))``
+    (equivalence-tested): occurrences sorted by (sent_no, ref_type) like
+    the reference's TreeSet<Occurrence> (model/NamedEntity.java:192-198),
+    aliases sorted distinct, alias-only groups dropped.
+    """
+    cfg = cfg or MatcherConfig()
+    default_names, gaz_map, name_to_type = normalize_gazetteer(gazetteer_names)
+    process = _entity_process_factory(
+        cfg,
+        name_to_type,
+        validate_format,
+        default_names=default_names,
+        gaz_map=gaz_map,
+    )
+    slim = docs.select("doc_id", _sents_expr().alias("sents"))
+    return slim.mapInArrow(process, schema=ENTITIES)
+
+
+def detect_entities_df_joined(
+    docs: DataFrame,
+    gaz_df: DataFrame,
+    cfg: MatcherConfig | None = None,
+    validate_format: bool = False,
+    broadcast: bool = False,
+) -> DataFrame:
+    """Per-document gazetteers as a JOIN instead of a task closure —
+    the 100×-scale transport for doc-specific dictionaries.
+
+    ``gaz_df`` is a ``(doc_id, name)`` DataFrame (optionally with an
+    ``entity_type`` column). It is pre-aggregated to one
+    ``(doc_id, names)`` row per doc (one small exchange on the
+    dictionary side, partial-agg combined), then LEFT-joined to the
+    documents on doc_id; the Arrow kernel reads each row's dictionary
+    from the batch. Docs without dictionary rows get an empty gazetteer
+    (no mentions) — identical to the closure path's ``{doc_id: names}``
+    semantics for missing keys (parity-tested).
+
+    ``broadcast=True`` hints the aggregated dictionary for broadcast —
+    right when dictionaries are per-project (small distinct set): the
+    documents side then never shuffles. With truly per-doc dictionaries
+    at 10^9 rows leave it False and let AQE pick a sort-merge join;
+    that shuffle is the price of not serializing every dictionary into
+    every task binary (the closure path's failure mode).
+
+    Type-aware dictionaries: pass ``entity_type`` in ``gaz_df`` to type
+    entities like the reference enum (model/NamedEntityType.java:8);
+    collisions resolve by ENTITY_TYPES precedence then name order,
+    matching normalize_gazetteer.
+    """
+    cfg = cfg or MatcherConfig()
+    has_type = "entity_type" in gaz_df.columns
+    if has_type:
+        # per-name type rides the join as "TYPE\x00name" packed strings
+        # (one list column crosses the Arrow boundary, not two parallel
+        # lists that could zip-drift)
+        packed = F.concat_ws("\x00", "entity_type", "name")
+        gaz_names = gaz_df.groupBy("doc_id").agg(
+            F.array_sort(F.array_distinct(F.collect_list(packed))).alias(
+                "names"
+            )
+        )
+    else:
+        gaz_names = gaz_df.groupBy("doc_id").agg(
+            F.array_sort(F.array_distinct(F.collect_list("name"))).alias(
+                "names"
+            )
+        )
+    if broadcast:
+        gaz_names = F.broadcast(gaz_names)
+
+    def unpack(names: tuple):
+        """tuple of packed 'TYPE\\x00name' -> (names tuple, name_to_type)
+        with ENTITY_TYPES precedence on collisions."""
+        by_type: dict = {t: [] for t in ENTITY_TYPES}
+        for s in names:
+            etype, _, name = s.partition("\x00")
+            # unknown/blank types degrade to COMPONENT (reference default)
+            by_type[etype if etype in by_type else "COMPONENT"].append(name)
+        return normalize_gazetteer(by_type)
+
+    if has_type:
+
+        def process(batches):
+            # thin adapter: unpack types per row, then reuse the closure
+            # kernel per distinct dictionary via the worker LRU cache
+            import pyarrow as pa
+
+            for batch in batches:
+                namecol = batch.column("names").to_pylist()
+                uniq = {}
+                for row in namecol:
+                    key = tuple(row) if row else ()
+                    if key not in uniq:
+                        names, _, name_to_type = unpack(key)
+                        uniq[key] = (names, name_to_type)
+                # group rows by dictionary: one sub-batch per distinct
+                # dictionary so the inner kernel sees homogeneous state
+                idx_by_key: dict = {}
+                for i, row in enumerate(namecol):
+                    idx_by_key.setdefault(tuple(row) if row else (), []).append(i)
+                for key, idxs in idx_by_key.items():
+                    names, name_to_type = uniq[key]
+                    inner = _entity_process_factory(
+                        cfg,
+                        name_to_type,
+                        validate_format,
+                        default_names=names,
+                    )
+                    sub = batch.take(pa.array(idxs, pa.int32()))
+                    yield from inner(iter([sub]))
+
+    else:
+        process = _entity_process_factory(
+            cfg, {}, validate_format, names_in_batch=True
+        )
+
+    slim = docs.select("doc_id", _sents_expr().alias("sents")).join(
+        gaz_names, "doc_id", "left"
+    )
     return slim.mapInArrow(process, schema=ENTITIES)

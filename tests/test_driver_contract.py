@@ -17,19 +17,15 @@ import __spark_entry__ as entrymod
 
 SF = "/root/testdata/sf0.001"
 
-#: operators with no SQL-expressible oracle. Since r2 only the media
-#: stub remains rows-only: the flagship pipeline, LSH ANN, SimHash and
-#: the P2 state machine are all value-oracled (md5-portable exprs or a
-#: provable reduction — see test_flagship_oracle.py). q_media_features
-#: is additionally pinned by a golden value hash
-#: (test_streaming_media.py).
-ROWS_ONLY = {
-    "q_media_features",
-}
+#: operators with no SQL-expressible oracle. Empty since r4: the last
+#: rows-only entry (q_media_features) became value-oracled when its
+#: fake decoder switched to md5-derived features (engine-portable —
+#: DuckDB recomputes width/height/embedding components bit-for-bit).
+ROWS_ONLY = set()
 
 #: queries that must NEVER leave the driver's 50-query verification
-#: window: the flagship pair, every reference-core §2 operator, and
-#: every query without a driver-green record as of round 3
+#: window (independent literal copy — editing WINDOW_PINNED in the
+#: entry module cannot silently drop a core query without failing here)
 WINDOW_REQUIRED = {
     # flagship
     "q_naer_triples", "q_naer_entities",
@@ -42,9 +38,6 @@ WINDOW_REQUIRED = {
     "q_jaccard_pairs_j1", "q_direct_classify_j2", "q_eval_pr_j5",
     "q_eval_pr_complex", "q_group_collect_a1", "q_occurrence_lines_a2",
     "q_dedup_a3", "q_set_ops", "q_argmax_window_a7",
-    # never driver-green before r3
-    "q_profile_table", "q_simhash", "q_simhash_pairs", "q_ann_lsh_topk",
-    "q_ann_ivf_topk", "q_media_decode", "q_media_features",
 }
 
 
@@ -73,12 +66,71 @@ def test_query_is_lazy_and_well_formed(spark, name):
 
 def test_window_contains_flagship_and_core():
     keys = list(entrymod.queries())
-    window = set(keys[:50])
+    window = set(keys[: entrymod.WINDOW_SIZE])
     missing = WINDOW_REQUIRED - window
     assert not missing, (
         f"queries() positions 1-50 lost required queries: {sorted(missing)}"
         " — the driver will not re-verify them this round"
     )
+    assert WINDOW_REQUIRED <= set(entrymod.WINDOW_PINNED)
+
+
+def _last_hash_green_from_artifacts(max_round):
+    """Independently recompute each query's last hash-green round from
+    the committed CORRECTNESS_r0N.json artifacts (rounds 1..max_round).
+    rows-only greens (err == no_oracle) do NOT count — the rotation is
+    about value verification."""
+    import json
+
+    root = Path(entrymod.__file__).resolve().parent
+    last = {}
+    for rnd in range(1, max_round + 1):
+        path = root / f"CORRECTNESS_r0{rnd}.json"
+        for q, v in json.loads(path.read_text()).items():
+            if v.get("hash_match"):
+                last[q] = rnd
+    return last
+
+
+def test_rotation_table_matches_correctness_artifacts():
+    """LAST_HASH_GREEN (the rotation schedule's input) must equal what
+    the committed driver artifacts actually record, for every
+    non-pinned query — a hand-maintained staleness table that drifts
+    from reality fails HERE instead of silently starving a query of
+    driver re-verification. Bump WINDOW_AS_OF_ROUND + refresh the table
+    when a new CORRECTNESS_r0N.json lands."""
+    actual = _last_hash_green_from_artifacts(entrymod.WINDOW_AS_OF_ROUND)
+    pinned = set(entrymod.WINDOW_PINNED)
+    expected = {
+        q: r
+        for q, r in actual.items()
+        if q not in pinned and q in entrymod.queries()
+    }
+    assert entrymod.LAST_HASH_GREEN == expected
+
+
+def test_window_rotation_fills_spare_slots_with_stalest_extras():
+    """The spare window slots (after the pinned head) must hold exactly
+    the stalest extras: never-hash-green first, then oldest hash-green
+    round. Recomputed here without window_order so the ordering logic
+    itself is under test."""
+    keys = list(entrymod.queries())
+    pinned = entrymod.WINDOW_PINNED
+    assert keys[: len(pinned)] == pinned
+    extras = [k for k in keys if k not in set(pinned)]
+    expected = sorted(
+        extras, key=lambda k: (entrymod.LAST_HASH_GREEN.get(k, 0), k)
+    )
+    assert keys[len(pinned):] == expected
+    # and the rotation actually reaches the stale tail: every spare
+    # slot is at least as stale as anything left outside the window
+    spare = keys[len(pinned): entrymod.WINDOW_SIZE]
+    outside = keys[entrymod.WINDOW_SIZE:]
+    if spare and outside:
+        stale = entrymod.LAST_HASH_GREEN.get
+        assert max(stale(k, 0) for k in spare) <= min(
+            stale(k, 0) for k in outside
+        )
 
 
 def test_no_silent_window_shift_via_duplicate_keys():

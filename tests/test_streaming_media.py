@@ -315,24 +315,24 @@ def test_resize_nn_and_thumbnails(spark):
     assert row.thumb[2] == 128 / 255
 
 
-def test_media_features_golden_value_hash(spark):
-    """q_media_features is the contract's one rows-only query (its fake
-    decoder is sha256-seeded numpy, which DuckDB cannot reproduce). The
-    output is nonetheless fully deterministic, so pin the driver-style
-    value hash (columns sorted by name, rows sorted, cells stringified
-    — tools/check_oracles.frame_hash) computed on the sf0.01 fixture.
-    Any semantic drift in the decoder or the span plumbing fails here
-    instead of passing silently as 'rows ran'."""
-    import sys
-    from pathlib import Path
+def test_fake_decode_is_md5_portable(spark):
+    """Since r4 the fake decoder's features are md5-derived so DuckDB
+    can recompute them (q_media_features is fully value-oracled). Pin
+    the derivation here in pure Python: any drift in _fake_decode
+    breaks the published formula the oracle relies on."""
+    import hashlib
 
-    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
-    import __spark_entry__ as entrymod
-    from check_oracles import frame_hash
-
-    df = entrymod.queries()["q_media_features"](
-        spark, "/root/testdata/sf0.01"
+    from named_architecture_entity_recognition_spark.operators.media import (
+        _fake_decode,
     )
-    rows = df.collect()
-    assert len(rows) == 200
-    assert frame_hash(df.columns, rows) == "f57fcea3a79ddbf2"
+
+    ref = "media://42"
+    w, h, vec = _fake_decode(ref, 4)
+    hd = hashlib.md5(ref.encode()).hexdigest()
+    assert w == 64 + int(hd[0:4], 16) % 1984
+    assert h == 64 + int(hd[4:8], 16) % 1984
+    for i, v in enumerate(vec):
+        u = int(hashlib.md5(f"{ref}:{i}".encode()).hexdigest()[:8], 16)
+        expected = u / 4294967296.0 * 2.0 - 1.0
+        assert abs(v - expected) < 2**-24  # one float32 rounding away
+        assert -1.0 <= v < 1.0
