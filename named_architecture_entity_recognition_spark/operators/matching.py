@@ -91,13 +91,17 @@ _STEM_SUFFIXES = ("ing", "s", "es")
 _COPULAR_RE = re.compile(r"\b(is|are)\s+(a|an|the)\b", re.IGNORECASE)
 
 # Opinion-framed sentence ("We think FreeSWITCH is an amazing piece of
-# software"): commentary about the technology, not an architectural
-# reference.
-_OPINION_START = re.compile(r"^\s*we\s+(think|believe|feel)\b", re.IGNORECASE)
+# software", "We consider the X design interesting"): commentary about
+# the technology, not an architectural reference. Any propositional-
+# attitude verb after "we" qualifies.
+_OPINION_START = re.compile(
+    r"^\s*we\s+(think|believe|feel|consider|find|regard)\b", re.IGNORECASE
+)
 
-# Comparative mention ("systems other than FreeSWITCH"): names the
-# category the entity does NOT refer to in this sentence.
-_THAN_BEFORE = re.compile(r"(?i)\bthan\s+$")
+# Comparative mention ("systems other than FreeSWITCH", "other than the
+# X"): names the category the entity does NOT refer to in this
+# sentence; an intervening determiner does not change that.
+_THAN_BEFORE = re.compile(r"(?i)\bthan\s+((the|a|an)\s+)?$")
 
 # Possessive determiner right before a common-word name ("his
 # preferences", "their data"): a person's belongings, not the component.
@@ -614,6 +618,14 @@ def _surface_matches(lv: LineView, entry: GazEntry, cfg: MatcherConfig):
                     ("R_EXACT", _char_to_token_range(spans, m.start(), m.end()))
                 )
         return out
+    def generic(tok_span) -> bool:
+        """Generic-framing guard (opinion/comparative) at a TOKEN span:
+        every surface-hit rule is subject to it, not just R_EXACT —
+        otherwise the weaker rules resurrect a suppressed mention
+        ("Tools other than the Zenith Gateway exist." must not come
+        back as an R_NORM window hit)."""
+        return _generic_exact_context(line, spans[tok_span[0]][1])
+
     # every token present is a necessary condition for the boundary
     # regex; cheap set membership skips the regex for near-miss lines
     if all(t in lv.token_set for t in entry.tokens):
@@ -626,13 +638,17 @@ def _surface_matches(lv: LineView, entry: GazEntry, cfg: MatcherConfig):
     # camel-initials ("FSESL" ~ "FreeSWITCH Event Socket Layer")
     if n_tok == 1 and entry.name.isupper() and 3 <= len(norm) <= 6:
         hit = lv.initials_windows().get(norm)
-        if hit:
+        if hit and not generic(hit):
             return [("R_NORM", hit)]
     wn = lv.window_norms(cfg.max_window)
     low_words = lv.low_words
     # R_NORM: normalized window equality ("bbb-web" == "BBB web")
     hit = wn.get(norm)
-    if hit is not None and (hit[0] != hit[1] or low_words[hit[0]] != norm):
+    if (
+        hit is not None
+        and (hit[0] != hit[1] or low_words[hit[0]] != norm)
+        and not generic(hit)
+    ):
         return [("R_NORM", hit)]
     # R_NORM acronym-equivalent 1:1 window ("BigBlueButton web" ~ "BBB web");
     # only reachable when some entry token has an acronym-expanded word
@@ -643,7 +659,7 @@ def _surface_matches(lv: LineView, entry: GazEntry, cfg: MatcherConfig):
             if all(
                 _word_matches_token(words[i + k], entry.tokens[k])
                 for k in range(n_tok)
-            ):
+            ) and not generic((i, i + n_tok - 1)):
                 return [("R_NORM", (i, i + n_tok - 1))]
     # R_STEM: inflections of the name ("re-encoding" -> reencoder)
     if cfg.enable_stem and len(norm) >= cfg.stem_min_prefix:
@@ -653,13 +669,14 @@ def _surface_matches(lv: LineView, entry: GazEntry, cfg: MatcherConfig):
                 cand = stem + suf
                 if cand != norm:
                     hit = wn.get(cand)
-                    if hit is not None:
+                    if hit is not None and not generic(hit):
                         return [("R_STEM", hit)]
     # R_COMPOUND: name embedded as head of a longer single token
     if len(norm) >= 6:
         for i, w in lv.tok_prefix6().get(norm[:6], ()):
             if len(w) > len(norm) + 2 and w.startswith(norm):
-                return [("R_COMPOUND", (i, i))]
+                if not generic((i, i)):
+                    return [("R_COMPOUND", (i, i))]
     # R_FUZZY: char-set Jaccard for short acronym-like names (typos)
     if cfg.enable_fuzzy and 4 <= len(norm) <= 6:
         for acc, span in wn.items():
@@ -669,6 +686,7 @@ def _surface_matches(lv: LineView, entry: GazEntry, cfg: MatcherConfig):
                 and acc[0] == norm[0]
                 and acc != norm
                 and char_jaccard(acc, norm) >= cfg.fuzzy_threshold
+                and not generic(span)
             ):
                 return [("R_FUZZY", span)]
     return out

@@ -228,6 +228,136 @@ def synth_holdout_sad(doc_idx: int, seed: int = 7):
     return lines, list(_HOLDOUT_GAZ), gold
 
 
+#: Adversarial held-out gazetteer (VERDICT r3 #7): distractor pairs
+#: sharing substrings ("Zenith Gate" / "Zenith Gateway",
+#: "Comet Archive" / "Comet Archiver"), an acronym collision
+#: ("Orion Cache Service" / "Orion Compute Service" — both OCS), and
+#: INTERFACE/CLASS-typed entries exercising the type dimension of the
+#: reference enum (model/NamedEntityType.java:8). Vocabulary disjoint
+#: from the five benchmark gazetteers (checked against the union of
+#: modelElementID_to_ComponentName.csv names).
+_ADV_GAZ = {
+    "COMPONENT": [
+        "Zenith Gateway",
+        "Zenith Gate",
+        "Comet Archiver",
+        "Comet Archive",
+        "Orion Cache Service",
+        "Orion Compute Service",
+    ],
+    "INTERFACE": ["Ledger Port", "TelemetryBridge"],
+    "CLASS": ["SessionToken", "Chronicle Record"],
+}
+
+_ADV_FILLER = (
+    "Rollouts proceed one region at a time.",
+    "Budgets are reviewed at the end of the quarter.",
+    "Incident reviews happen within two days.",
+    "The on-call rotation changes every week.",
+)
+
+
+def synth_holdout_adversarial(doc_idx: int, seed: int = 13):
+    """Adversarial held-out SAD (VERDICT r3 #7 hardening): distractor
+    gazetteers, pronoun chains with entity SWITCHES, and typed gold.
+
+    Returns ``(lines, typed_gaz, gold, type_of)`` where ``typed_gaz``
+    is the reference-shaped ``{COMPONENT|INTERFACE|CLASS: [names]}``
+    map, ``gold`` the exact (lowercase name, 1-indexed sentence) pairs,
+    and ``type_of`` maps lowercase name -> expected entity type. Gold
+    is fixed by template semantics (standard linguistic reading), not
+    by what the matcher happens to emit."""
+    rng = np.random.RandomState((seed * 30_011 + doc_idx) % (2**31 - 1))
+    verbs = _HOLDOUT_VERBS
+
+    def verb():
+        return verbs[int(rng.randint(0, len(verbs)))]
+
+    sents: list[tuple[str, list[str]]] = []
+
+    # section 1 — introductions (R_EXACT); every name appears once so
+    # substring distractors must NOT cross-fire (boundary + subsumption)
+    sents.append((f"The Zenith Gateway {verb()} inbound calls.", ["Zenith Gateway"]))
+    sents.append((f"The Zenith Gate {verb()} admission tickets.", ["Zenith Gate"]))
+    sents.append((f"The Comet Archiver {verb()} closed segments.", ["Comet Archiver"]))
+    sents.append((f"The Comet Archive {verb()} weekly snapshots.", ["Comet Archive"]))
+    sents.append(
+        (
+            f"The Orion Cache Service OCS {verb()} hot rows.",
+            ["Orion Cache Service"],
+        )
+    )
+    sents.append(
+        (
+            f"The Orion Compute Service {verb()} batch work.",
+            ["Orion Compute Service"],
+        )
+    )
+    sents.append((f"The Ledger Port {verb()} balance queries.", ["Ledger Port"]))
+    sents.append((f"The TelemetryBridge {verb()} gauge samples.", ["TelemetryBridge"]))
+    sents.append((f"The SessionToken {verb()} the tenant claims.", ["SessionToken"]))
+    sents.append(
+        (f"The Chronicle Record {verb()} one immutable event.", ["Chronicle Record"])
+    )
+
+    blocks: list[list[tuple[str, list[str]]]] = []
+    # normalized re-mentions must bind the right side of each
+    # substring-distractor pair
+    blocks.append(
+        [(f"The zenith gateway {verb()} the response.", ["Zenith Gateway"])]
+    )
+    blocks.append([(f"The zenith gate {verb()} late joins.", ["Zenith Gate"])])
+    blocks.append([(f"The comet archive {verb()} old epochs.", ["Comet Archive"])])
+    blocks.append(
+        [(f"The comet archiver {verb()} the manifest.", ["Comet Archiver"])]
+    )
+    # the induced acronym binds the DEFINED entity, not its collision
+    # twin (both initial to OCS; only Cache was defined in section 1)
+    blocks.append([(f"The OCS {verb()} stale rows.", ["Orion Cache Service"])])
+    # pronoun chain WITH AN ENTITY SWITCH: each 'It' binds the most
+    # recent subject, and the switch must not leak the earlier focus
+    blocks.append(
+        [
+            (f"The Zenith Gateway {verb()} deferred calls.", ["Zenith Gateway"]),
+            (f"It {verb()} the retry queue.", ["Zenith Gateway"]),
+            (f"The Comet Archiver {verb()} cold segments.", ["Comet Archiver"]),
+            (f"It {verb()} the compaction plan.", ["Comet Archiver"]),
+        ]
+    )
+    # two-entity sentence: subject-position antecedent wins the pronoun
+    blocks.append(
+        [
+            (
+                f"The TelemetryBridge {verb()} into the Chronicle Record.",
+                ["TelemetryBridge", "Chronicle Record"],
+            ),
+            (f"It {verb()} the write batches.", ["TelemetryBridge"]),
+        ]
+    )
+    # negatives: opinion framing, comparative, quantifier-generic head
+    blocks.append(
+        [("We consider the Comet Archiver design ideas interesting.", [])]
+    )
+    blocks.append([("Tools other than the Zenith Gateway exist.", [])])
+    blocks.append([("Every tenant gets an archive quota.", [])])
+    order = rng.permutation(len(blocks))
+    for bi in order:
+        if rng.rand() < 0.5:
+            sents.append(
+                (_ADV_FILLER[int(rng.randint(0, len(_ADV_FILLER)))], [])
+            )
+        sents.extend(blocks[bi])
+
+    lines = [t for t, _ in sents]
+    gold = {
+        (n.lower(), i + 1) for i, (_, names) in enumerate(sents) for n in names
+    }
+    type_of = {
+        n.lower(): t for t, names in _ADV_GAZ.items() for n in names
+    }
+    return lines, {t: list(v) for t, v in _ADV_GAZ.items()}, gold, type_of
+
+
 def synth_documents(
     spark: SparkSession,
     n_docs: int,
