@@ -111,89 +111,115 @@ def funnel_levels_array(
     the two kernels identical), different scale shape — the documented
     >5-step / power-user variant:
 
-    ONE groupBy collects each user's per-step sorted timestamp arrays,
-    then the greedy chain runs as a pure-Catalyst array scan (nested
-    higher-order functions — zero Python). A k-step funnel as chain
-    joins is k-1 joins whose per-user fan-out multiplies for power
-    users; here the per-user work is an in-memory scan bounded by that
-    user's own event count, and the job has exactly one shuffle.
+    ONE groupBy collects each user's time-sorted (ts, step) event array,
+    then a ONE-PASS state machine runs as a pure-Catalyst ``aggregate``
+    (zero Python): state = per-level latest chain-start time. For each
+    event of step j at time t, a level-j chain extends the level-(j-1)
+    chain with the LATEST start satisfying the window — latest-start
+    dominates (every deeper constraint only loosens with a later start),
+    and greedy earliest-next is existence-optimal, so this equals the
+    max-over-start-events greedy-chain semantics of ``funnel_levels``
+    and the DuckDB oracle. O(events x steps) per user.
+
+    (History: the r3 form evaluated a nested-HOF greedy chain from
+    EVERY step-1 event — O(k·n²) with re-evaluated subtrees in Spark's
+    interpreted higher-order functions. The r4 whale-user bench case —
+    one user holding ~10% of all events — took minutes on a 10k-event
+    user; this one-pass runs it in milliseconds.)
+
+    Tie discipline: chains need strictly increasing ts, so the merged
+    array sorts by (ts asc, step DESC) — a step-(j+1) event at time t
+    is processed before any same-ts step-j update can be written, so
+    it only ever extends chains whose previous event is strictly
+    earlier.
 
     ``n_salts``: two-phase collect for mega-users (skew.py pattern) —
-    partial collect_list on (user, salt), merge+sort on user. The
+    partial sorted arrays on (user, salt), flatten+sort on user. The
     final per-user array still lands on one task (the scan needs it),
     but no single task ever receives the raw event rows of a hot user
     in one gulp.
     """
     if len(steps) < 2:
         raise ValueError("funnel needs >= 2 steps")
+    k = len(steps)
+    w = float(window_s)
     ev = events.filter(F.col(type_col).isin(list(steps))).select(
         F.col(user_col).alias("user_id"),
         F.col(type_col).alias("_type"),
         F.col(ts_col).cast("timestamp").alias("_ts"),
     )
-    step_aggs = [
-        F.array_sort(
-            F.collect_list(F.when(F.col("_type") == s, F.col("_ts")))
-        ).alias(f"a{i + 1}")
-        for i, s in enumerate(steps)
-    ]
+    # one struct per (event, matching step position) — a type appearing
+    # at several funnel positions contributes to each of them
+    steps_lit = F.array(
+        *[
+            F.struct(F.lit(i + 1).alias("j"), F.lit(s).alias("s"))
+            for i, s in enumerate(steps)
+        ]
+    )
+    tagged = ev.select(
+        "user_id",
+        F.explode(
+            F.filter(steps_lit, lambda x: x["s"] == F.col("_type"))
+        ).alias("m"),
+        F.col("_ts").cast("double").alias("t"),
+    ).select(
+        "user_id",
+        F.col("t"),
+        (-F.col("m.j")).cast("int").alias("negstep"),
+    )
+    e_struct = F.struct(F.col("t"), F.col("negstep"))
+    merged = F.array_sort(F.collect_list(e_struct)).alias("evs")
     if n_salts:
         from named_architecture_entity_recognition_spark.operators.skew import (
             with_salt,
         )
 
         partial = with_salt(
-            ev, n_salts, cols=["user_id", "_type", "_ts"]
-        ).groupBy("user_id", "salt").agg(*step_aggs)
+            tagged, n_salts, cols=["user_id", "t", "negstep"]
+        ).groupBy("user_id", "salt").agg(merged)
         per_user = partial.groupBy("user_id").agg(
-            *[
-                F.array_sort(F.flatten(F.collect_list(f"a{i + 1}"))).alias(
-                    f"a{i + 1}"
-                )
-                for i in range(len(steps))
-            ]
+            F.array_sort(F.flatten(F.collect_list("evs"))).alias("evs")
         )
     else:
-        per_user = ev.groupBy("user_id").agg(*step_aggs)
+        per_user = tagged.groupBy("user_id").agg(merged)
 
-    def _after(p):
-        # closure factory: a default-arg lambda would have TWO params
-        # and PySpark would bind it to filter's (element, index) form
-        return lambda x: x > p
+    init = F.struct(
+        F.array_repeat(F.lit(None).cast("double"), k).alias("L"),
+        F.lit(0).alias("best"),
+    )
 
-    def level_from(t1):
-        # greedy chain from start event t1: earliest step-(i+1) ts after
-        # the chain's step-i ts (arrays are sorted, min = earliest);
-        # level = 1 + deepest consecutive within-window prefix
-        prev = t1
-        lvl = F.lit(1)
-        ok = F.lit(True)
-        for i in range(1, len(steps)):
-            nxt = F.array_min(
-                F.filter(F.col(f"a{i + 1}"), _after(prev))
-            )
-            ok = (
-                ok
-                & nxt.isNotNull()
-                & (
-                    nxt.cast("double") - t1.cast("double")
-                    <= float(window_s)
-                )
-            )
-            lvl = lvl + F.when(ok, 1).otherwise(0)
-            prev = nxt
-        return lvl
-
-    return (
-        per_user.select(
-            "user_id",
-            F.array_max(F.transform(F.col("a1"), level_from))
-            .cast("int")
-            .alias("level"),
+    def update(acc, e):
+        j = (-e["negstep"]).cast("int")
+        t = e["t"]
+        # element_at is 1-based; greatest() clamps the j==1 probe to a
+        # valid index (its value is unused on that branch)
+        prev = F.element_at(acc["L"], F.greatest(j - 1, F.lit(1)))
+        extend = (j > 1) & prev.isNotNull() & ((t - prev) <= F.lit(w))
+        new_l = F.transform(
+            acc["L"],
+            lambda x, i: F.when(
+                (i + 1) == j,
+                F.when(j == 1, t).otherwise(
+                    # greatest() skips nulls: max(existing, new start)
+                    F.when(extend, F.greatest(x, prev)).otherwise(x)
+                ),
+            ).otherwise(x),
         )
-        # users with no step-1 event have level null -> absent, matching
-        # the join kernel
-        .filter(F.col("level").isNotNull())
+        new_best = (
+            F.when(j == 1, F.greatest(acc["best"], F.lit(1)))
+            .when(extend, F.greatest(acc["best"], j))
+            .otherwise(acc["best"])
+        )
+        return F.struct(new_l.alias("L"), new_best.alias("best"))
+
+    level = F.aggregate(
+        F.col("evs"), init, update, lambda acc: acc["best"]
+    ).cast("int")
+    return (
+        per_user.select("user_id", level.alias("level"))
+        # users with no step-1 event never start a chain -> absent,
+        # matching the join kernel
+        .filter(F.col("level") >= 1)
     )
 
 

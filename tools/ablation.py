@@ -28,7 +28,10 @@ from named_architecture_entity_recognition_spark.operators.matching import (
     compile_gazetteer,
     detect_mentions,
 )
-from named_architecture_entity_recognition_spark.synth import synth_holdout_sad
+from named_architecture_entity_recognition_spark.synth import (
+    synth_holdout_adversarial,
+    synth_holdout_sad,
+)
 from tune_matcher import clean_component_name, load_project
 
 BASE = Path("/root/reference/src/test/resources/evaluation_resources")
@@ -60,6 +63,15 @@ def _projects():
         tp_gaz = gaz
         tp_gold |= {(n, s, d) for n, s in gold}
     yield "holdout(8 docs)", tp_lines, tp_gaz, tp_gold
+    # adversarial held-out (r4): distractor pairs, acronym collision,
+    # pronoun switches — as an eighth "project"
+    adv_lines, adv_gaz, adv_gold = [], None, set()
+    for d in range(8):
+        lines, gaz_map, gold, _ = synth_holdout_adversarial(d)
+        adv_lines.append(lines)
+        adv_gaz = [n for v in gaz_map.values() for n in v]
+        adv_gold |= {(n, s, d) for n, s in gold}
+    yield "adversarial(8 docs)", adv_lines, adv_gaz, adv_gold
 
 
 def _score_config(cfg: MatcherConfig, lines, gaz_names, gold):
