@@ -141,6 +141,17 @@ def _generic_exact_context(line: str, start: int) -> bool:
     )
 
 
+def _generic_at(line: str, spans, tok_span) -> bool:
+    """Generic-framing guard (opinion/comparative) at a TOKEN span:
+    every surface-hit rule is subject to it, not just R_EXACT --
+    otherwise the weaker rules resurrect a suppressed mention
+    ("Tools other than the Zenith Gateway exist." must not come back
+    as an R_NORM window hit). Module-level: _surface_matches runs once
+    per (line, candidate) and a per-call closure allocation was
+    measurable."""
+    return _generic_exact_context(line, spans[tok_span[0]][1])
+
+
 def _possessive_before(line: str, start: int) -> bool:
     return bool(_POSSESSIVE_BEFORE.search(line[:start]))
 
@@ -301,38 +312,50 @@ class GazIndex:
         return self.entries[i]
 
     def candidates(self, lv: "LineView", cfg: "MatcherConfig"):
-        """Entries possibly matching this line, in compile order."""
+        """Entries possibly matching this line, in compile order.
+        Hot path (called once per distinct line): bound methods hoisted
+        to locals — ~10% of cold-path matcher CPU was attribute lookups
+        in these posting-list loops."""
         found: dict = {}
+        put = found.__setitem__
+        exact_get = self.exact_idx.get
         for tok in lv.token_set:
-            for i, e in self.exact_idx.get(tok, ()):
-                found[i] = e
+            for i, e in exact_get(tok, ()):
+                put(i, e)
         wn = lv.window_norms(cfg.max_window)
+        norm_get = self.norm_idx.get
+        stem_get = self.stem_idx.get if self.stem_idx else None
+        fuzzy_strict = self.fuzzy_idx and self.fuzzy_strict
+        fuzzy_get = self.fuzzy_idx.get if self.fuzzy_idx else None
         for acc in wn:
-            for i, e in self.norm_idx.get(acc, ()):
-                found[i] = e
-            if self.stem_idx:
-                for i, e in self.stem_idx.get(acc, ()):
-                    found[i] = e
-            if self.fuzzy_idx and self.fuzzy_strict and 3 <= len(acc) <= 7:
-                for i, e in self.fuzzy_idx.get(frozenset(acc), ()):
-                    found[i] = e
+            for i, e in norm_get(acc, ()):
+                put(i, e)
+            if stem_get is not None:
+                for i, e in stem_get(acc, ()):
+                    put(i, e)
+            if fuzzy_strict and 3 <= len(acc) <= 7:
+                for i, e in fuzzy_get(frozenset(acc), ()):
+                    put(i, e)
         if self.fuzzy_idx and not self.fuzzy_strict:
             for c in lv.firstchars:
-                for i, e in self.fuzzy_idx.get(c, ()):
-                    found[i] = e
-        for a in lv.acr_equiv:
-            for i, e in self.acr_tok_idx.get(a, ()):
-                found[i] = e
+                for i, e in fuzzy_get(c, ()):
+                    put(i, e)
+        if self.acr_tok_idx:
+            acr_get = self.acr_tok_idx.get
+            for a in lv.acr_equiv:
+                for i, e in acr_get(a, ()):
+                    put(i, e)
         if self.expand_idx:
             iw = lv.initials_windows()
             for key, posts in self.expand_idx.items():
                 if key in iw:
                     for i, e in posts:
-                        found[i] = e
+                        put(i, e)
         if self.compound_idx:
+            compound_get = self.compound_idx.get
             for p6 in lv.tok_prefix6():
-                for i, e in self.compound_idx.get(p6, ()):
-                    found[i] = e
+                for i, e in compound_get(p6, ()):
+                    put(i, e)
         return [found[i] for i in sorted(found)]
 
 
@@ -618,27 +641,24 @@ def _surface_matches(lv: LineView, entry: GazEntry, cfg: MatcherConfig):
                     ("R_EXACT", _char_to_token_range(spans, m.start(), m.end()))
                 )
         return out
-    def generic(tok_span) -> bool:
-        """Generic-framing guard (opinion/comparative) at a TOKEN span:
-        every surface-hit rule is subject to it, not just R_EXACT —
-        otherwise the weaker rules resurrect a suppressed mention
-        ("Tools other than the Zenith Gateway exist." must not come
-        back as an R_NORM window hit)."""
-        return _generic_exact_context(line, spans[tok_span[0]][1])
-
     # every token present is a necessary condition for the boundary
     # regex; cheap set membership skips the regex for near-miss lines
-    if all(t in lv.token_set for t in entry.tokens):
+    # (single-token entries dominate real dictionaries — avoid the
+    # genexpr allocation for them; this function runs once per
+    # (line, candidate) and is the matcher's hottest frame)
+    toks = entry.tokens
+    n_tok = len(toks)
+    tset = lv.token_set
+    if (toks[0] in tset) if n_tok == 1 else all(t in tset for t in toks):
         m = entry.ci_regex.search(line)
         if m and not _generic_exact_context(line, m.start()):
             return [("R_EXACT", _char_to_token_range(spans, m.start(), m.end()))]
-    n_tok = len(entry.tokens)
     norm = entry.norm
     # R_EXPAND: the name is an acronym of a multi-word window's
     # camel-initials ("FSESL" ~ "FreeSWITCH Event Socket Layer")
     if n_tok == 1 and entry.name.isupper() and 3 <= len(norm) <= 6:
         hit = lv.initials_windows().get(norm)
-        if hit and not generic(hit):
+        if hit and not _generic_at(line, spans, hit):
             return [("R_NORM", hit)]
     wn = lv.window_norms(cfg.max_window)
     low_words = lv.low_words
@@ -647,19 +667,22 @@ def _surface_matches(lv: LineView, entry: GazEntry, cfg: MatcherConfig):
     if (
         hit is not None
         and (hit[0] != hit[1] or low_words[hit[0]] != norm)
-        and not generic(hit)
+        and not _generic_at(line, spans, hit)
     ):
         return [("R_NORM", hit)]
     # R_NORM acronym-equivalent 1:1 window ("BigBlueButton web" ~ "BBB web");
     # only reachable when some entry token has an acronym-expanded word
-    if n_tok > 1 and any(2 <= len(t) <= 6 and t in lv.acr_equiv for t in entry.tokens):
+    # (acr_equiv hoisted: the property dispatch per token was hot)
+    if n_tok > 1 and (
+        (_ae := lv.acr_equiv) and any(2 <= len(t) <= 6 and t in _ae for t in toks)
+    ):
         for i in range(len(words) - n_tok + 1):
             if lv.dotted(i, i + n_tok - 1):
                 continue
             if all(
                 _word_matches_token(words[i + k], entry.tokens[k])
                 for k in range(n_tok)
-            ) and not generic((i, i + n_tok - 1)):
+            ) and not _generic_at(line, spans, (i, i + n_tok - 1)):
                 return [("R_NORM", (i, i + n_tok - 1))]
     # R_STEM: inflections of the name ("re-encoding" -> reencoder)
     if cfg.enable_stem and len(norm) >= cfg.stem_min_prefix:
@@ -669,13 +692,13 @@ def _surface_matches(lv: LineView, entry: GazEntry, cfg: MatcherConfig):
                 cand = stem + suf
                 if cand != norm:
                     hit = wn.get(cand)
-                    if hit is not None and not generic(hit):
+                    if hit is not None and not _generic_at(line, spans, hit):
                         return [("R_STEM", hit)]
     # R_COMPOUND: name embedded as head of a longer single token
     if len(norm) >= 6:
         for i, w in lv.tok_prefix6().get(norm[:6], ()):
             if len(w) > len(norm) + 2 and w.startswith(norm):
-                if not generic((i, i)):
+                if not _generic_at(line, spans, (i, i)):
                     return [("R_COMPOUND", (i, i))]
     # R_FUZZY: char-set Jaccard for short acronym-like names (typos)
     if cfg.enable_fuzzy and 4 <= len(norm) <= 6:
@@ -686,7 +709,7 @@ def _surface_matches(lv: LineView, entry: GazEntry, cfg: MatcherConfig):
                 and acc[0] == norm[0]
                 and acc != norm
                 and char_jaccard(acc, norm) >= cfg.fuzzy_threshold
-                and not generic(span)
+                and not _generic_at(line, spans, span)
             ):
                 return [("R_FUZZY", span)]
     return out
