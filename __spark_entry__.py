@@ -28,7 +28,21 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _flat_to_spans_docs(docs: DataFrame, words_per_sentence: int = 8) -> DataFrame:
     """Deterministically reshape the flat documents table into the
     input_hint interleaved shape: chunk words into sentences (declarative
-    — no Python)."""
+    — no Python).
+
+    Input conditioning: the sf0.1 fixture is ONE ~3 MB parquet file, so
+    the scan plans a single partition and the whole downstream Python
+    matcher would serialize behind one core (measured: 2.9 s where the
+    matcher work is ~0.1 s across 32 cores). When the scan's
+    parallelism is below the session's core count, repartition the tiny
+    text input first — one cheap exchange that unlocks every core. On a
+    real 100 TB table splits >> cores and this branch never fires (the
+    same failure mode at the source level is handled by
+    sources/lakehouse.compact_table)."""
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
     w = F.split(F.trim("text"), r"\s+")
     n_chunks = F.greatest(F.ceil(F.size(w) / words_per_sentence), F.lit(1)).cast("int")
     sentences = F.transform(
