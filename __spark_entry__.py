@@ -1221,6 +1221,31 @@ def _q_naer_entities(spark, sf):
     )
 
 
+def _q_hist_quantiles(spark, sf):
+    """Mergeable equi-width histogram sketch + interpolated quantiles
+    (the rank-statistics member of the mergeable-summaries family next
+    to KMV/HLL/Misra-Gries): ONE partial+final aggregate builds per-
+    group bin counts; p50/p95 are estimated from the counts with error
+    <= one bin width (property-tested; merge-of-parts == whole is exact
+    integer equality). Oracle recomputes bins and the interpolation via
+    a cumulative-sum window in DuckDB — identical double arithmetic."""
+    from named_architecture_entity_recognition_spark.operators.sketch import (
+        hist_quantile_expr,
+        hist_sketch,
+    )
+
+    li = _read(spark, sf, "lineitem")
+    sk = hist_sketch(
+        li, ("l_returnflag",), "l_quantity", lo=0.0, hi=50.0, bins=25
+    )
+    return sk.select(
+        "l_returnflag",
+        "n",
+        hist_quantile_expr(F.col("hist"), 0.5, 0.0, 50.0, 25).alias("p50_est"),
+        hist_quantile_expr(F.col("hist"), 0.95, 0.0, 50.0, 25).alias("p95_est"),
+    )
+
+
 def _q_naer_entities_docgaz(spark, sf):
     """Flagship entity extraction with PER-DOCUMENT dictionaries via
     the JOIN transport (detect_entities_df_joined — the r4 answer to
@@ -1851,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_decode": _q_media_decode,
         "q_media_features": _q_media_features,
         "q_naer_entities_docgaz": _q_naer_entities_docgaz,
+        "q_hist_quantiles": _q_hist_quantiles,
         "q_exact_dedup": _q_exact_dedup,
         "q_minhash_sig": _q_minhash_sig,
         "q_lsh_pairs": _q_lsh_pairs,
@@ -2723,6 +2749,35 @@ def oracle_sql() -> dict[str, str]:
             flag_occ + " SELECT doc_id, name, 'COMPONENT' AS entity_type, "
             "'' AS aliases, count(*)::BIGINT AS n_occurrences "
             "FROM occ GROUP BY doc_id, name"
+        ),
+        "q_hist_quantiles": (
+            # replicate hist_sketch bins + hist_quantile_expr's
+            # interpolation: rank = ceil(q*n); first bin whose cumsum
+            # reaches it; estimate = (bin + inbin/cnt) * width
+            "WITH v AS (SELECT l_returnflag AS f, "
+            "least(24, greatest(0, floor(l_quantity::DOUBLE / 50.0 * 25)::INT))"
+            " AS bin FROM lineitem WHERE l_quantity IS NOT NULL), "
+            "c AS (SELECT f, bin, count(*)::BIGINT AS cnt FROM v GROUP BY f, bin), "
+            "grid AS (SELECT g.f, t.i AS bin FROM (SELECT DISTINCT f FROM c) g, "
+            "range(25) t(i)), "
+            "fullc AS (SELECT grid.f, grid.bin, coalesce(c.cnt, 0) AS cnt "
+            "FROM grid LEFT JOIN c ON c.f = grid.f AND c.bin = grid.bin), "
+            "cum AS (SELECT f, bin, cnt, "
+            "sum(cnt) OVER (PARTITION BY f ORDER BY bin) AS cum, "
+            "sum(cnt) OVER (PARTITION BY f) AS n FROM fullc), "
+            "est AS (SELECT f, n, "
+            "min(CASE WHEN cum >= ceil(0.5 * n::DOUBLE)::BIGINT THEN bin END) "
+            "AS b50, "
+            "min(CASE WHEN cum >= ceil(0.95 * n::DOUBLE)::BIGINT THEN bin END) "
+            "AS b95 FROM cum GROUP BY f, n) "
+            "SELECT est.f AS l_returnflag, est.n AS n, "
+            "(c50.bin::DOUBLE + (ceil(0.5 * est.n::DOUBLE) - (c50.cum - c50.cnt))"
+            "::DOUBLE / greatest(c50.cnt, 1)::DOUBLE) * 2.0 AS p50_est, "
+            "(c95.bin::DOUBLE + (ceil(0.95 * est.n::DOUBLE) - (c95.cum - c95.cnt))"
+            "::DOUBLE / greatest(c95.cnt, 1)::DOUBLE) * 2.0 AS p95_est "
+            "FROM est "
+            "JOIN cum c50 ON c50.f = est.f AND c50.bin = est.b50 "
+            "JOIN cum c95 ON c95.f = est.f AND c95.bin = est.b95"
         ),
         "q_naer_entities_docgaz": (
             # per-doc dictionary = 3-name subset of the flagship

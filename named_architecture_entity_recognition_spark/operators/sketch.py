@@ -213,3 +213,102 @@ def heavy_hitters(values: DataFrame, col: str = "term", k: int = 64) -> DataFram
         .orderBy(F.desc("count_lo"), F.asc("term"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------- histogram
+
+
+def hist_bin_expr(col: Column, lo: float, hi: float, bins: int) -> Column:
+    """Bin index of ``col`` in a fixed [lo, hi) equi-width histogram;
+    out-of-range values clamp to the edge bins (documented: the
+    estimator's error bound assumes negligible clamped mass). Pure
+    integer/double arithmetic — engine-portable (DuckDB recomputes the
+    identical index)."""
+    idx = F.floor(
+        (col.cast("double") - F.lit(float(lo)))
+        / F.lit(float(hi) - float(lo))
+        * F.lit(bins)
+    ).cast("int")
+    return F.least(F.lit(bins - 1), F.greatest(F.lit(0), idx))
+
+
+def hist_sketch(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 32,
+) -> DataFrame:
+    """Mergeable equi-width histogram sketch per group: ONE map-side
+    combinable hash aggregate producing an array of ``bins`` counts —
+    the quantile member of the mergeable-summaries family (KMV/HLL for
+    distinct counts, Misra-Gries for heavy hitters, this for rank
+    statistics). Store it in a rollup table; re-aggregation of parts is
+    element-wise array addition (``hist_merge_expr``), exactly equal to
+    the sketch of the whole (integer counts — no approximation in the
+    merge, pytest-asserted). Estimation error is bounded by one bin
+    width regardless of data size; state per group is ``bins`` longs.
+
+    Scale shape: no window, no sort, no Python — a single partial+final
+    aggregate over one scan, the same shuffle countDistinct uses."""
+    b = hist_bin_expr(F.col(col), lo, hi, bins)
+    return df.groupBy(*keys).agg(
+        F.array(
+            *[
+                F.sum(F.when(b == i, 1).otherwise(0)).alias(f"b{i}")
+                for i in range(bins)
+            ]
+        ).alias("hist"),
+        F.count(col).alias("n"),
+    )
+
+
+def hist_merge_expr(a: Column, b: Column) -> Column:
+    """Merge two histogram count arrays (element-wise add)."""
+    return F.zip_with(a, b, lambda x, y: x + y)
+
+
+def hist_quantile_expr(
+    hist: Column, q: float, lo: float, hi: float, bins: int
+) -> Column:
+    """Interpolated quantile estimate from a histogram count array:
+    find the bin where the rank ``ceil(q*n)`` falls, then interpolate
+    linearly inside it. |estimate - true quantile| <= bin width for
+    in-range data (property-tested). Deterministic double arithmetic —
+    the DuckDB oracle recomputes it bit-for-bit."""
+    width = (float(hi) - float(lo)) / bins
+    n = F.aggregate(hist, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    target = F.ceil(F.lit(q) * n.cast("double")).cast("long")
+    # one pass over the bins: (cum, idx, inbin) — idx = first bin whose
+    # cumulative count reaches target; inbin = rank position inside it
+    state = F.aggregate(
+        hist,
+        F.struct(
+            F.lit(0).cast("long").alias("cum"),
+            F.lit(-1).alias("idx"),
+            F.lit(0).cast("long").alias("inbin"),
+            F.lit(0).alias("pos"),
+        ),
+        lambda acc, x: F.struct(
+            (acc["cum"] + x).alias("cum"),
+            F.when(
+                (acc["idx"] < 0) & (acc["cum"] + x >= target), acc["pos"]
+            ).otherwise(acc["idx"]).alias("idx"),
+            F.when(
+                (acc["idx"] < 0) & (acc["cum"] + x >= target),
+                target - acc["cum"],
+            ).otherwise(acc["inbin"]).alias("inbin"),
+            (acc["pos"] + 1).alias("pos"),
+        ),
+    )
+    cnt_at = F.element_at(hist, state["idx"] + 1).cast("double")
+    est = (
+        F.lit(float(lo))
+        + (
+            state["idx"].cast("double")
+            + state["inbin"].cast("double") / F.greatest(cnt_at, F.lit(1.0))
+        )
+        * F.lit(width)
+    )
+    return F.when(n > 0, est)

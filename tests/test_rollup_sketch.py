@@ -326,3 +326,81 @@ def test_q_heavy_hitters_fixture_vocab_below_k(spark):
         "Misra-Gries decrements now apply and the exact-count oracle "
         "in __spark_entry__.oracle_sql() is no longer valid"
     )
+
+
+def test_hist_sketch_merge_of_parts_equals_whole(spark):
+    """The histogram sketch is EXACTLY mergeable: element-wise array
+    addition of per-part sketches equals the sketch of the whole
+    (integer counts — the merge loses nothing; only the final quantile
+    interpolation is approximate)."""
+    from pyspark.sql import functions as F
+
+    from named_architecture_entity_recognition_spark.operators.sketch import (
+        hist_merge_expr,
+        hist_sketch,
+    )
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 3).alias("g"),
+        ((F.col("id") * 37 % 1000) / 10.0).alias("x"),
+        (F.col("id") % 4).alias("part"),
+    )
+    whole = hist_sketch(df, ("g",), "x", lo=0.0, hi=100.0, bins=20)
+    parts = hist_sketch(df, ("g", "part"), "x", lo=0.0, hi=100.0, bins=20)
+    merged = parts.groupBy("g").agg(
+        F.aggregate(
+            F.collect_list("hist"),
+            F.array_repeat(F.lit(0).cast("long"), 20),
+            hist_merge_expr,
+        ).alias("hist"),
+        F.sum("n").alias("n"),
+    )
+    a = {r.g: (list(r.hist), r.n) for r in whole.collect()}
+    b = {r.g: (list(r.hist), r.n) for r in merged.collect()}
+    assert a == b
+
+
+def test_hist_quantile_error_bounded_by_bin_width(spark):
+    """|estimate - exact quantile| <= one bin width, for several q on
+    skewed data (the sketch's published bound)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from named_architecture_entity_recognition_spark.operators.sketch import (
+        hist_quantile_expr,
+        hist_sketch,
+    )
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate(
+        [rng.uniform(0, 20, 3000), rng.uniform(80, 100, 1000)]
+    )
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    bins, lo, hi = 40, 0.0, 100.0
+    width = (hi - lo) / bins
+    sk = hist_sketch(df.withColumn("g", F.lit(1)), ("g",), "x", lo, hi, bins)
+    row = sk.select(
+        *[
+            hist_quantile_expr(F.col("hist"), q, lo, hi, bins).alias(f"p{i}")
+            for i, q in enumerate((0.1, 0.5, 0.9, 0.99))
+        ]
+    ).collect()[0]
+    for i, q in enumerate((0.1, 0.5, 0.9, 0.99)):
+        exact = float(np.quantile(vals, q))
+        assert abs(row[f"p{i}"] - exact) <= width + 1e-9, (q, row[f"p{i}"], exact)
+
+
+def test_hist_quantile_empty_group_is_null(spark):
+    from pyspark.sql import functions as F
+
+    from named_architecture_entity_recognition_spark.operators.sketch import (
+        hist_quantile_expr,
+    )
+
+    df = spark.createDataFrame(
+        [([0] * 8,)], "hist array<long>"
+    )
+    row = df.select(
+        hist_quantile_expr(F.col("hist"), 0.5, 0.0, 1.0, 8).alias("p")
+    ).collect()[0]
+    assert row.p is None
