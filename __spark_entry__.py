@@ -692,8 +692,9 @@ _FUNNEL_ARRAY_WINDOW = 7200
 
 
 def _q_funnel_array(spark, sf):
-    """5-step funnel via the ARRAY kernel (per-user sorted per-step
-    timestamp arrays: ONE shuffle + pure-Catalyst array scan — the
+    """5-step funnel via the ARRAY kernel (since r4: ONE shuffle
+    collecting each user's time-sorted (ts, step) array + a one-pass
+    pure-Catalyst aggregate state machine, O(events x steps)/user — the
     >5-step / power-user scale shape; pytest proves it row-identical to
     the chain-join kernel). Oracle = the greedy chain unrolled in
     DuckDB, generated by _funnel_sql for any step count."""
