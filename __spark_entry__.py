@@ -1566,6 +1566,43 @@ def _q_media_decode(spark, sf):
     )
 
 
+def _q_audio_decode(spark, sf):
+    """REAL audio decode (pure-numpy PCM16 WAV parser, no codec libs —
+    the audio sibling of q_media_decode's PPM image path): deterministic
+    square-wave clips generated per doc_id, decoded distributed via
+    Arrow-batched mapInPandas. The oracle verifies the decoder inverts
+    the generator analytically: rms == amplitude exactly (square wave),
+    zero_crossings == (n-1) // half_period, duration == n/sr. Every
+    13th clip is malformed, exercising the quarantine path."""
+    from named_architecture_entity_recognition_spark.operators.media import (
+        extract_wav_features,
+        synth_wav,
+    )
+
+    ids = [
+        r.doc_id
+        for r in _read(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+        .collect()
+    ]
+    rows = []
+    for i in sorted(ids):
+        sr = 8000 + (i % 4) * 4000
+        n = 400 + i % 100
+        amp = 100 + i % 29000
+        k = 1 + i % 5
+        buf = b"RIFX broken" if i % 13 == 0 else synth_wav(sr, n, amp, k)
+        rows.append((f"doc{i}", f"media://wav/{i}", bytearray(buf)))
+    media = spark.createDataFrame(
+        rows, "doc_id string, media_ref string, media_bytes binary"
+    ).repartition(8)
+    return extract_wav_features(media).select(
+        "doc_id", "media_ref", "sample_rate", "n_samples", "duration_s",
+        "rms", "zero_crossings", "error",
+    )
+
+
 def _q_gazetteer_link_j4(spark, sf):
     """J4 gazetteer-assisted linking as a broadcast hash join: candidate
     first-words vs a 20-term dictionary of the corpus's most frequent
@@ -1876,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf_topk": _q_ann_ivf_topk,
         "q_media_decode": _q_media_decode,
         "q_media_features": _q_media_features,
+        "q_audio_decode": _q_audio_decode,
         "q_naer_entities_docgaz": _q_naer_entities_docgaz,
         "q_hist_quantiles": _q_hist_quantiles,
         "q_exact_dedup": _q_exact_dedup,
@@ -2925,6 +2963,24 @@ def oracle_sql() -> dict[str, str]:
             "(((('0x' || substr(md5(media_ref || ':1'), 1, 8))::UBIGINT "
             "/ 4294967296.0) * 2 - 1)::REAL)::DOUBLE AS emb_1 "
             "FROM m"
+        ),
+        "q_audio_decode": (
+            # inverse-function oracle: the WAV decoder must recover the
+            # generator's analytic sample_rate / duration / rms /
+            # zero-crossing count (square wave: rms == amplitude)
+            "WITH p AS (SELECT doc_id AS i, 400 + doc_id % 100 AS n, "
+            "8000 + (doc_id % 4) * 4000 AS sr, 100 + doc_id % 29000 AS amp, "
+            "1 + doc_id % 5 AS k FROM documents WHERE doc_id < 200) "
+            "SELECT 'doc' || i AS doc_id, 'media://wav/' || i AS media_ref, "
+            "CASE WHEN i % 13 = 0 THEN NULL ELSE sr::INT END AS sample_rate, "
+            "CASE WHEN i % 13 = 0 THEN NULL ELSE n::INT END AS n_samples, "
+            "CASE WHEN i % 13 = 0 THEN NULL ELSE n::DOUBLE / sr::DOUBLE END "
+            "AS duration_s, "
+            "CASE WHEN i % 13 = 0 THEN NULL ELSE amp::DOUBLE END AS rms, "
+            "CASE WHEN i % 13 = 0 THEN NULL ELSE ((n - 1) // k)::INT END "
+            "AS zero_crossings, "
+            "CASE WHEN i % 13 = 0 THEN 'not a RIFF/WAVE file' END AS error "
+            "FROM p"
         ),
         "q_media_decode": (
             # inverse-function oracle: the PPM decoder must recover the

@@ -336,3 +336,79 @@ def test_fake_decode_is_md5_portable(spark):
         expected = u / 4294967296.0 * 2.0 - 1.0
         assert abs(v - expected) < 2**-24  # one float32 rounding away
         assert -1.0 <= v < 1.0
+
+
+def test_decode_wav_roundtrip_and_formats():
+    """PCM16 WAV decoder inverts the synthetic generator and rejects
+    malformed/unsupported input with ValueError (quarantine, not task
+    death)."""
+    import numpy as np
+    import pytest
+
+    from named_architecture_entity_recognition_spark.operators.media import (
+        decode_wav,
+        synth_wav,
+    )
+
+    sr, ch, s = decode_wav(synth_wav(16000, 10, 500, 2))
+    assert (sr, ch) == (16000, 1)
+    assert s.tolist() == [500, 500, -500, -500, 500, 500, -500, -500, 500, 500]
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"garbage")
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"")
+    # non-PCM format code
+    buf = bytearray(synth_wav(8000, 4, 100, 1))
+    fmt_off = buf.find(b"fmt ") + 8
+    buf[fmt_off:fmt_off + 2] = (3).to_bytes(2, "little")  # IEEE float
+    with pytest.raises(ValueError, match="PCM only"):
+        decode_wav(bytes(buf))
+    # truncated data chunk (not whole frames)
+    buf = synth_wav(8000, 4, 100, 1)
+    with pytest.raises(ValueError):
+        decode_wav(buf[:-1] if len(buf) % 2 == 0 else buf[:-2])
+
+
+def test_decode_wav_stereo_mono_mix():
+    import numpy as np
+
+    from named_architecture_entity_recognition_spark.operators.media import (
+        decode_wav,
+    )
+
+    # hand-built 2-channel PCM16: frames (100, 200), (-100, -300)
+    samples = np.array([100, 200, -100, -300], dtype="<i2").tobytes()
+    hdr = b"RIFF" + (36 + len(samples)).to_bytes(4, "little") + b"WAVE"
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (8000 * 4).to_bytes(4, "little")
+        + (4).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    buf = hdr + fmt + b"data" + len(samples).to_bytes(4, "little") + samples
+    sr, ch, s = decode_wav(buf)
+    assert (sr, ch) == (8000, 2)
+    assert s.tolist() == [150, -200]
+
+
+def test_extract_wav_features_quarantines_bad_clips(spark):
+    from named_architecture_entity_recognition_spark.operators.media import (
+        extract_wav_features,
+        synth_wav,
+    )
+
+    media = spark.createDataFrame(
+        [
+            ("d1", "m1", bytearray(synth_wav(8000, 9, 1000, 2))),
+            ("d2", "m2", bytearray(b"not audio")),
+            ("d3", "m3", None),
+        ],
+        "doc_id string, media_ref string, media_bytes binary",
+    )
+    rows = {r.doc_id: r for r in extract_wav_features(media).collect()}
+    ok = rows["d1"]
+    assert ok.error is None and ok.sample_rate == 8000 and ok.n_samples == 9
+    assert ok.rms == 1000.0 and ok.zero_crossings == (9 - 1) // 2
+    assert rows["d2"].error is not None and rows["d2"].rms is None
+    assert rows["d3"].error is not None
