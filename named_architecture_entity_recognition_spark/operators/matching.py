@@ -923,10 +923,13 @@ def detect_doc(lines, gazetteer, cfg: MatcherConfig | None = None):
         if cfg.enable_alias_induction
         else {}
     )
-    # cache only valid for the config the index was compiled with
-    cache = (
-        gazetteer.line_cache if not aliases and cfg == gazetteer.cfg else None
-    )
+    # cache only valid for the config the index was compiled with. It
+    # stores the LINE-PURE result (_match_line depends only on (line,
+    # gazetteer, cfg)); doc-specific alias extras are layered on AFTER
+    # the cache, so alias-bearing docs both use and warm it too (until
+    # r4 they bypassed it entirely — on alias-rich corpora that made
+    # every repeat of a hot line pay the full rule cascade).
+    cache = gazetteer.line_cache if cfg == gazetteer.cfg else None
     out = []
     focus = []  # single focused entity of the previous sentence
     focus_line = -10  # sentence that set the focus (pronoun decay = 1 line)
@@ -938,31 +941,32 @@ def detect_doc(lines, gazetteer, cfg: MatcherConfig | None = None):
             focus = []
             continue
         hit = cache.get(line) if cache is not None else None
-        if hit is not None:
-            kept, has_strong, copular = hit
-        else:
-            kept, has_strong, copular = _match_line(line, gazetteer, cfg)
-            if aliases:
-                # doc-induced aliases (count as DIRECT: alias containment,
-                # NamedEntityParser.java:196-200); appended after the
-                # line-pure pass, mirroring their standalone-token nature
-                matched = {m[0] for m in kept}
-                extra = []
-                for acro, (name, rx) in aliases.items():
-                    if name in matched:
-                        continue
-                    mm = rx.search(line)
-                    if mm:
-                        spans = _token_spans(line)
-                        extra.append(
-                            (name, DIRECT, "R_ALIAS",
-                             _char_to_token_range(spans, mm.start(), mm.end()))
-                        )
-                kept = kept + extra
-            elif cache is not None:
+        if hit is None:
+            hit = _match_line(line, gazetteer, cfg)
+            if cache is not None:
                 if len(cache) >= _LINE_CACHE_MAX:
                     cache.clear()
-                cache[line] = (kept, has_strong, copular)
+                cache[line] = hit
+        kept, has_strong, copular = hit
+        if aliases:
+            # doc-induced aliases (count as DIRECT: alias containment,
+            # NamedEntityParser.java:196-200); appended after the
+            # line-pure pass, mirroring their standalone-token nature.
+            # Never mutate `kept` — it may be the cached list.
+            matched = {m[0] for m in kept}
+            extra = []
+            for acro, (name, rx) in aliases.items():
+                if name in matched:
+                    continue
+                mm = rx.search(line)
+                if mm:
+                    spans = _token_spans(line)
+                    extra.append(
+                        (name, DIRECT, "R_ALIAS",
+                         _char_to_token_range(spans, mm.start(), mm.end()))
+                    )
+            if extra:
+                kept = kept + extra
         # acronym-expansion co-mention: a literal bare acronym hit also
         # references the entities named inside its spelled-out form
         # ("FSESL akka." -> FSESL + FreeSWITCH); expansion-window hits
