@@ -295,3 +295,45 @@ def test_funnel_kernels_agree_on_random_streams(spark):
             b = {r.user_id: r.level
                  for r in funnel_levels_array(df, steps, win).collect()}
             assert a == b, (seed, steps)
+
+
+def test_funnel_array_kernel_equal_timestamp_ties(spark):
+    """Chains need STRICTLY increasing timestamps. The one-pass kernel's
+    tie discipline (merged array sorted by (ts asc, step desc)) must
+    refuse a same-ts step-2 event and accept one strictly later —
+    pinned explicitly because the randomized equivalence suite only
+    rarely generates exact collisions."""
+    import datetime as dt
+
+    from named_architecture_entity_recognition_spark.operators.funnel import (
+        funnel_levels,
+        funnel_levels_array,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # u1: A and B at the SAME instant -> B cannot chain -> level 1
+        (1, "A", t0),
+        (1, "B", t0),
+        # u2: B strictly later -> level 2
+        (2, "A", t0),
+        (2, "B", t0 + dt.timedelta(seconds=1)),
+        # u3: A at t0 and t0+2; B at t0+1 -> only the earlier A chains
+        # (greedy from t1=t0 finds B; from t1=t0+2 does not) -> level 2
+        (3, "A", t0),
+        (3, "A", t0 + dt.timedelta(seconds=2)),
+        (3, "B", t0 + dt.timedelta(seconds=1)),
+        # u4: B BEFORE any A -> level 1 (no backwards chaining)
+        (4, "B", t0),
+        (4, "A", t0 + dt.timedelta(seconds=1)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    expected = {1: 1, 2: 2, 3: 2, 4: 1}
+    for kernel in (funnel_levels, funnel_levels_array):
+        got = {
+            r.user_id: r.level
+            for r in kernel(ev, ["A", "B"], window_s=3600.0).collect()
+        }
+        assert got == expected, (kernel.__name__, got)
