@@ -1527,38 +1527,79 @@ def _q_media_features(spark, sf):
     )
 
 
-def _q_media_decode(spark, sf):
-    """REAL image decode (pure-numpy P6 PPM parser, no codec libs):
-    deterministic solid-color images generated per doc_id, decoded
-    distributed via Arrow-batched mapInPandas. The oracle verifies the
-    decoder inverts the generator: expected width/height/channel means
-    are computed analytically from doc_id. Every 11th image is
-    malformed, exercising the quarantine path."""
+def _synth_media_df(spark, sf, kind):
+    """Lazy media fixture: clip/image parameters are doc_id arithmetic
+    and the payload bytes are synthesized INSIDE a mapInPandas stage on
+    the executors (ADVICE r4: the previous version ran an eager
+    .collect() + driver-side byte generation at plan-build time,
+    contradicting the laziness contract). Building this DataFrame runs
+    no Spark job; at scale the synth stage is a partition-preserving
+    map, exactly like a real binary-column scan."""
+    import pandas as pd  # noqa: F811 (worker-side import mirror)
+
     from named_architecture_entity_recognition_spark.operators.media import (
-        extract_ppm_features,
         synth_ppm,
+        synth_wav,
     )
 
-    ids = [
-        r.doc_id
-        for r in _read(spark, sf, "documents")
+    base = (
+        _read(spark, sf, "documents")
         .filter(F.col("doc_id") < 200)
-        .select("doc_id")
-        .collect()
-    ]
-    rows = []
-    for i in sorted(ids):
-        w, h = 4 + i % 13, 4 + i % 7
-        rgb = (i % 97, (i * 7) % 97, (i * 13) % 97)
-        buf = (
-            b"P6 broken header"
-            if i % 11 == 0
-            else synth_ppm(w, h, rgb)
-        )
-        rows.append((f"doc{i}", f"media://ppm/{i}", bytearray(buf)))
-    media = spark.createDataFrame(
-        rows, "doc_id string, media_ref string, media_bytes binary"
-    ).repartition(8)
+        .select(F.col("doc_id").cast("long").alias("id"))
+        .repartition(8)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                if kind == "wav":
+                    sr = 8000 + (i % 4) * 4000
+                    n = 400 + i % 100
+                    amp = 100 + i % 29000
+                    k = 1 + i % 5
+                    buf = (
+                        b"RIFX broken"
+                        if i % 13 == 0
+                        else synth_wav(sr, n, amp, k)
+                    )
+                    rows.append(
+                        (f"doc{i}", f"media://wav/{i}", bytearray(buf))
+                    )
+                else:
+                    w, h = 4 + i % 13, 4 + i % 7
+                    rgb = (i % 97, (i * 7) % 97, (i * 13) % 97)
+                    buf = (
+                        b"P6 broken header"
+                        if i % 11 == 0
+                        else synth_ppm(w, h, rgb)
+                    )
+                    rows.append(
+                        (f"doc{i}", f"media://ppm/{i}", bytearray(buf))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_ref", "media_bytes"]
+            )
+
+    return base.mapInPandas(
+        gen, schema="doc_id string, media_ref string, media_bytes binary"
+    )
+
+
+def _q_media_decode(spark, sf):
+    """REAL image decode (pure-numpy P6 PPM parser, no codec libs):
+    deterministic solid-color images generated per doc_id (executor-side
+    via _synth_media_df), decoded distributed via Arrow-batched
+    mapInPandas. The oracle verifies the decoder inverts the generator:
+    expected width/height/channel means are computed analytically from
+    doc_id. Every 11th image is malformed, exercising the quarantine
+    path."""
+    from named_architecture_entity_recognition_spark.operators.media import (
+        extract_ppm_features,
+    )
+
+    media = _synth_media_df(spark, sf, "ppm")
     out = extract_ppm_features(media)
     return out.select(
         "doc_id", "media_ref", "width", "height", "mean_r", "mean_g",
@@ -1569,34 +1610,17 @@ def _q_media_decode(spark, sf):
 def _q_audio_decode(spark, sf):
     """REAL audio decode (pure-numpy PCM16 WAV parser, no codec libs —
     the audio sibling of q_media_decode's PPM image path): deterministic
-    square-wave clips generated per doc_id, decoded distributed via
-    Arrow-batched mapInPandas. The oracle verifies the decoder inverts
-    the generator analytically: rms == amplitude exactly (square wave),
-    zero_crossings == (n-1) // half_period, duration == n/sr. Every
-    13th clip is malformed, exercising the quarantine path."""
+    square-wave clips generated per doc_id (executor-side via
+    _synth_media_df), decoded distributed via Arrow-batched mapInPandas.
+    The oracle verifies the decoder inverts the generator analytically:
+    rms == amplitude exactly (square wave), zero_crossings ==
+    (n-1) // half_period, duration == n/sr. Every 13th clip is
+    malformed, exercising the quarantine path."""
     from named_architecture_entity_recognition_spark.operators.media import (
         extract_wav_features,
-        synth_wav,
     )
 
-    ids = [
-        r.doc_id
-        for r in _read(spark, sf, "documents")
-        .filter(F.col("doc_id") < 200)
-        .select("doc_id")
-        .collect()
-    ]
-    rows = []
-    for i in sorted(ids):
-        sr = 8000 + (i % 4) * 4000
-        n = 400 + i % 100
-        amp = 100 + i % 29000
-        k = 1 + i % 5
-        buf = b"RIFX broken" if i % 13 == 0 else synth_wav(sr, n, amp, k)
-        rows.append((f"doc{i}", f"media://wav/{i}", bytearray(buf)))
-    media = spark.createDataFrame(
-        rows, "doc_id string, media_ref string, media_bytes binary"
-    ).repartition(8)
+    media = _synth_media_df(spark, sf, "wav")
     return extract_wav_features(media).select(
         "doc_id", "media_ref", "sample_rate", "n_samples", "duration_s",
         "rms", "zero_crossings", "error",
@@ -1789,30 +1813,9 @@ WINDOW_PINNED = [
 #: tests/test_driver_contract.py, so a stale table fails a test, not a
 #: round. With 24 rotation slots over 36 r1/r2-stale extras, every
 #: extra regains a driver-green row within two rounds.
-WINDOW_AS_OF_ROUND = 3
+WINDOW_AS_OF_ROUND = 4
 LAST_HASH_GREEN = {
-    # last hash-green in round 1
-    "q_brand_volume": 1,
-    "q_embed_neardup": 1,
-    "q_salted_count_skew": 1,
-    "q_salted_join_skew": 1,
-    "q_sessionize": 1,
-    "q_windowed_events": 1,
     # last hash-green in round 2
-    "q_asof_join": 2,
-    "q_cdc_latest": 2,
-    "q_cohort_retention": 2,
-    "q_collocations": 2,
-    "q_contamination": 2,
-    "q_events_rollup": 2,
-    "q_fingerprint": 2,
-    "q_hash_split": 2,
-    "q_heavy_hitters": 2,
-    "q_kmv_distinct": 2,
-    "q_lang_id": 2,
-    "q_ngram_jaccard": 2,
-    "q_pack_sequences": 2,
-    "q_prepare_corpus": 2,
     "q_pricing_summary": 2,
     "q_quality": 2,
     "q_range_join": 2,
@@ -1829,8 +1832,7 @@ LAST_HASH_GREEN = {
     "q_vocab_topk": 2,
     "q_weighted_sample": 2,
     "q_zorder_key": 2,
-    # last hash-green in round 3 (non-pinned only; the pinned core's
-    # greens are irrelevant to rotation)
+    # last hash-green in round 3
     "q_ann_cosine_topk": 3,
     "q_ann_int8_topk": 3,
     "q_ann_ivf_topk": 3,
@@ -1854,8 +1856,30 @@ LAST_HASH_GREEN = {
     "q_simhash": 3,
     "q_simhash_pairs": 3,
     "q_triangles": 3,
-    # q_media_features: rows-only in r1-r3, hash-green NEVER -> absent
-    # (sorts first among extras, enters the r4 window automatically)
+    # last hash-green in round 4
+    "q_asof_join": 4,
+    "q_audio_decode": 4,
+    "q_brand_volume": 4,
+    "q_cdc_latest": 4,
+    "q_cohort_retention": 4,
+    "q_collocations": 4,
+    "q_contamination": 4,
+    "q_embed_neardup": 4,
+    "q_events_rollup": 4,
+    "q_fingerprint": 4,
+    "q_hash_split": 4,
+    "q_heavy_hitters": 4,
+    "q_kmv_distinct": 4,
+    "q_lang_id": 4,
+    "q_media_features": 4,
+    "q_naer_entities_docgaz": 4,
+    "q_ngram_jaccard": 4,
+    "q_pack_sequences": 4,
+    "q_prepare_corpus": 4,
+    "q_salted_count_skew": 4,
+    "q_salted_join_skew": 4,
+    "q_sessionize": 4,
+    "q_windowed_events": 4,
 }
 
 
@@ -2809,7 +2833,7 @@ def oracle_sql() -> dict[str, str]:
             "AS b50, "
             "min(CASE WHEN cum >= ceil(0.95 * n::DOUBLE)::BIGINT THEN bin END) "
             "AS b95 FROM cum GROUP BY f, n) "
-            "SELECT est.f AS l_returnflag, est.n AS n, "
+            "SELECT est.f AS l_returnflag, est.n::BIGINT AS n, "
             "(c50.bin::DOUBLE + (ceil(0.5 * est.n::DOUBLE) - (c50.cum - c50.cnt))"
             "::DOUBLE / greatest(c50.cnt, 1)::DOUBLE) * 2.0 AS p50_est, "
             "(c95.bin::DOUBLE + (ceil(0.95 * est.n::DOUBLE) - (c95.cum - c95.cnt))"

@@ -306,6 +306,12 @@ def decode_wav(buf: bytes):
     while pos + 8 <= len(buf):
         cid = buf[pos : pos + 4]
         size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        if pos + 8 + size > len(buf):
+            # a declared size past EOF must hit the quarantine path, not
+            # silently decode a frame-aligned truncation to fewer samples
+            raise ValueError(
+                f"chunk {cid!r} declares {size} bytes past end of file"
+            )
         body = buf[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             if len(body) < 16:

@@ -368,6 +368,18 @@ def test_decode_wav_roundtrip_and_formats():
     buf = synth_wav(8000, 4, 100, 1)
     with pytest.raises(ValueError):
         decode_wav(buf[:-1] if len(buf) % 2 == 0 else buf[:-2])
+    # frame-ALIGNED truncation: the declared data size now overruns the
+    # buffer; must quarantine, not silently decode fewer samples
+    # (ADVICE r4 — media.py chunk-size bound)
+    buf = synth_wav(8000, 4, 100, 1)
+    with pytest.raises(ValueError, match="past end of file"):
+        decode_wav(buf[:-2])
+    # inflated declared data-chunk size likewise quarantines
+    buf = bytearray(synth_wav(8000, 4, 100, 1))
+    doff = buf.find(b"data") + 4
+    buf[doff:doff + 4] = (10_000).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="past end of file"):
+        decode_wav(bytes(buf))
 
 
 def test_decode_wav_stereo_mono_mix():
