@@ -1811,8 +1811,10 @@ WINDOW_PINNED = [
 #: round from the committed CORRECTNESS_r0N.json artifacts; the window
 #: composition is asserted against those same artifacts in
 #: tests/test_driver_contract.py, so a stale table fails a test, not a
-#: round. With 24 rotation slots over 36 r1/r2-stale extras, every
-#: extra regains a driver-green row within two rounds.
+#: round. Worst-case staleness is ceil(n_extras / n_rotation_slots)
+#: rounds — currently ceil(63/24) = 3 (NOT 2; VERDICT r4 #5) — and
+#: tests/test_driver_contract.py asserts that bound stays accurate as
+#: the contract grows.
 WINDOW_AS_OF_ROUND = 4
 LAST_HASH_GREEN = {
     # last hash-green in round 2

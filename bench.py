@@ -186,6 +186,40 @@ def run_bench(sf_dir: str, cpus: str, n_synth_docs: int | None = None):
     extras["probe_ms"] = probe_ms
     extras["cache_bust_workers"] = bust_workers
 
+    # --- JOIN-transport gazetteer (VERDICT r4 #6, extras only): the
+    # same corpus and the same full gazetteer, but delivered per-doc
+    # through detect_entities_df_joined (one dictionary partial-agg
+    # exchange + doc_id join) instead of the task closure — quantifies
+    # the 100×-transport's overhead vs the closure-path flagship.
+    # broadcast=False on purpose: measure the honest at-scale path
+    # (sort-merge join), not the small-dim shortcut.
+    from pyspark.sql import functions as F
+
+    from named_architecture_entity_recognition_spark.operators.mentions import (
+        detect_entities_df_joined,
+    )
+
+    names_arr = F.array(*[F.lit(nm) for nm in gaz])
+    gaz_df = docs.select("doc_id", F.explode(names_arr).alias("name"))
+    _counts: dict = {}
+    t_clo = timed(
+        "naer_entities_closure",
+        lambda: _counts.__setitem__("clo", pipe.entities(docs).count()),
+    )
+    t_join = timed(
+        "naer_entities_docgaz",
+        lambda: _counts.__setitem__(
+            "join",
+            detect_entities_df_joined(
+                docs, gaz_df, validate_format=True, broadcast=False
+            ).count(),
+        ),
+    )
+    extras["naer_entities_closure_sec"] = round(t_clo, 3)
+    extras["naer_entities_docgaz_sec"] = round(t_join, 3)
+    extras["docgaz_rows_match"] = _counts["clo"] == _counts["join"]
+    extras["docgaz_overhead_x"] = round(t_join / max(t_clo, 1e-9), 2)
+
     # --- whale-user funnel (VERDICT r3 #9, extras only): one synthetic
     # user holds ~10% of all events; the two-phase salted collect
     # (skew.py) must match the unsalted plan's results and not lose to
@@ -295,11 +329,16 @@ def compact_headline(result):
         "sf": result["sf"],
         "n_docs": result.get("n_docs"),
         "triples_per_sec": result.get("triples_per_sec"),
+        "naer_entities_closure_sec": result.get("naer_entities_closure_sec"),
+        "naer_entities_docgaz_sec": result.get("naer_entities_docgaz_sec"),
+        "docgaz_overhead_x": result.get("docgaz_overhead_x"),
     }
     # hard budget with headroom under the driver's 2000-char tail
     if len(json.dumps(compact)) > 1500:
-        compact.pop("n_docs", None)
-        compact.pop("triples_per_sec", None)
+        for k in ("n_docs", "naer_entities_closure_sec",
+                  "naer_entities_docgaz_sec", "docgaz_overhead_x",
+                  "triples_per_sec"):
+            compact.pop(k, None)
     while len(json.dumps(compact)) > 1500 and len(compact["queries"]) > 1:
         # drop the fastest non-flagship entries first, never the total
         drop = min(

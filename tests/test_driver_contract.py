@@ -133,6 +133,28 @@ def test_window_rotation_fills_spare_slots_with_stalest_extras():
         )
 
 
+def test_staleness_bound_documented_accurately():
+    """Worst-case rotation staleness is ceil(n_extras / n_spare_slots)
+    rounds; the docstring above LAST_HASH_GREEN must state the current
+    value so the bound stays visible as the contract grows (VERDICT r4
+    #5 — the old comment said 2 after the contract had grown to 3)."""
+    import math
+
+    keys = list(entrymod.queries())
+    n_extras = len(keys) - len(entrymod.WINDOW_PINNED)
+    n_spare = entrymod.WINDOW_SIZE - len(entrymod.WINDOW_PINNED)
+    bound = math.ceil(n_extras / n_spare)
+    src = Path(entrymod.__file__).read_text()
+    doc = src.split("LAST_HASH_GREEN = {", 1)[0].rsplit("#: Rotation", 1)[1]
+    m = re.search(r"ceil\(\d+/\d+\)\s*=\s*(\d+)", doc)
+    assert m, "rotation docstring must state the ceil(extras/slots) bound"
+    assert int(m.group(1)) == bound, (
+        f"documented staleness bound {m.group(1)} != actual {bound} "
+        f"(ceil({n_extras}/{n_spare})) — update the comment above "
+        "LAST_HASH_GREEN"
+    )
+
+
 def test_no_silent_window_shift_via_duplicate_keys():
     """Python dicts keep the FIRST occurrence's position on key
     re-assignment, so a duplicated literal in the queries() source
