@@ -1288,6 +1288,56 @@ def _q_naer_entities_docgaz(spark, sf):
     )
 
 
+def _q_naer_entities_typed(spark, sf):
+    """TYPED flagship entity extraction (VERDICT r4 #7): a typed
+    per-doc gazetteer through detect_entities_df_joined, emitting the
+    reference enum (model/NamedEntityType.java:8 — COMPONENT /
+    INTERFACE / CLASS). Same pick construction as
+    q_naer_entities_docgaz; each gazetteer name's type is a pure
+    function of its gazetteer index (idx % 3), so the doc-side picks
+    carry deterministic, collision-free types. Oracle: the same
+    R_EXACT-token-membership reduction, with the type recomputed from
+    the picked index in SQL."""
+    from named_architecture_entity_recognition_spark.operators.mentions import (
+        detect_entities_df_joined,
+    )
+
+    flat = _read(spark, sf, "documents")
+    docs = _flat_to_spans_docs(flat)
+    names = F.array(*[F.lit(n) for n in _FLAGSHIP_GAZETTEER])
+    types = F.array(
+        F.lit("COMPONENT"), F.lit("INTERFACE"), F.lit("CLASS")
+    )
+    i = F.col("doc_id").cast("long")
+    pick = F.array(
+        *[
+            F.struct(
+                F.element_at(
+                    names, ((i + off) % 10 + 1).cast("int")
+                ).alias("name"),
+                F.element_at(
+                    types, (((i + off) % 10) % 3 + 1).cast("int")
+                ).alias("entity_type"),
+            )
+            for off in (0, 3, 7)  # distinct mod 10 for every i
+        ]
+    )
+    gaz_df = flat.select(
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias(
+            "doc_id"
+        ),
+        F.explode(pick).alias("p"),
+    ).select("doc_id", "p.name", "p.entity_type")
+    e = detect_entities_df_joined(docs, gaz_df, broadcast=True)
+    return e.select(
+        "doc_id",
+        "name",
+        "entity_type",
+        F.concat_ws(",", "alternative_names").alias("aliases"),
+        F.size("occurrences").cast("long").alias("n_occurrences"),
+    )
+
+
 def _q_ann_lsh_topk(spark, sf):
     from named_architecture_entity_recognition_spark.operators.similarity import (
         cosine_topk_lsh,
@@ -1941,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_features": _q_media_features,
         "q_audio_decode": _q_audio_decode,
         "q_naer_entities_docgaz": _q_naer_entities_docgaz,
+        "q_naer_entities_typed": _q_naer_entities_typed,
         "q_hist_quantiles": _q_hist_quantiles,
         "q_exact_dedup": _q_exact_dedup,
         "q_minhash_sig": _q_minhash_sig,
@@ -2861,6 +2912,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, name, 'COMPONENT' AS entity_type, "
             "'' AS aliases, count(*)::BIGINT AS n_occurrences "
             "FROM occ GROUP BY doc_id, name"
+        ),
+        "q_naer_entities_typed": (
+            # typed per-doc dictionary: same 3-index pick as the docgaz
+            # oracle, but each pick carries the reference enum type
+            # (model/NamedEntityType.java:8) as a pure function of the
+            # picked gazetteer index (idx % 3) — the same formula the
+            # Spark query evaluates
+            f"WITH g AS (SELECT [{gaz_list}] AS gl), "
+            "ty AS (SELECT ['COMPONENT', 'INTERFACE', 'CLASS'] AS tl), "
+            "ws AS (SELECT doc_id AS id, 'doc' || doc_id AS doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS w FROM documents), "
+            "picks AS (SELECT ws.id, ws.doc_id, "
+            "g.gl[((ws.id + o.off) % 10)::INT + 1] AS name, "
+            "ty.tl[(((ws.id + o.off) % 10) % 3)::INT + 1] AS entity_type "
+            "FROM ws, (VALUES (0), (3), (7)) o(off), g, ty), "
+            "tok AS (SELECT id, doc_id, w[i] AS name, "
+            "((i - 1) // 8 + 1) AS sent_no "
+            "FROM ws, unnest(generate_series(1, len(w))) AS t(i)), "
+            "occ AS (SELECT DISTINCT t.doc_id, p.name, p.entity_type, "
+            "t.sent_no FROM tok t JOIN picks p "
+            "ON p.doc_id = t.doc_id AND p.name = t.name) "
+            "SELECT doc_id, name, entity_type, "
+            "'' AS aliases, count(*)::BIGINT AS n_occurrences "
+            "FROM occ GROUP BY doc_id, name, entity_type"
         ),
         "q_ann_lsh_topk": (
             "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
