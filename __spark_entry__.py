@@ -342,6 +342,26 @@ def _q_exact_dedup(spark, sf):
     return exact_dedup_groups(_read(spark, sf, "documents"))
 
 
+def _q_dup_spans(spark, sf):
+    """Span-level exact dedup (ExactSubstr shape, Lee et al. 2022):
+    merged per-doc intervals of 8-token windows whose md5 occurs >= 2
+    times corpus-wide. Complements the doc-level dedups — catches the
+    boilerplate runs INSIDE otherwise-unique documents. Oracle
+    recomputes the windows + gaps-and-islands merge in DuckDB
+    byte-identically (md5-portable tokenized windows)."""
+    from named_architecture_entity_recognition_spark.operators.dedup import (
+        dup_span_intervals,
+    )
+
+    docs = _read(spark, sf, "documents")
+    # same input conditioning as _flat_to_spans_docs: the single-file
+    # fixture otherwise serializes all window hashing behind one core
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+    return dup_span_intervals(docs, window=8, min_count=2)
+
+
 def _q_minhash_sig(spark, sf):
     from named_architecture_entity_recognition_spark.operators.dedup import (
         minhash_signature,
@@ -1994,6 +2014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_naer_entities_typed": _q_naer_entities_typed,
         "q_hist_quantiles": _q_hist_quantiles,
         "q_exact_dedup": _q_exact_dedup,
+        "q_dup_spans": _q_dup_spans,
         "q_minhash_sig": _q_minhash_sig,
         "q_lsh_pairs": _q_lsh_pairs,
         "q_dup_clusters": _q_dup_clusters,
@@ -2237,6 +2258,28 @@ def oracle_sql() -> dict[str, str]:
         "q_exact_dedup": (
             "SELECT md5(trim(lower(text))) AS text_hash, count(*)::BIGINT AS n_dups, "
             "min(doc_id) AS keep_id FROM documents GROUP BY 1"
+        ),
+        "q_dup_spans": (
+            # ExactSubstr-shape span dedup: 8-token window hashes,
+            # corpus-wide count >= 2, per-doc gaps-and-islands merge
+            # (break when i > prev_i + 8, i.e. past overlap-or-adjacent)
+            "WITH ws AS (SELECT doc_id, "
+            "string_split_regex(trim(lower(text)), '\\s+') AS w "
+            "FROM documents), "
+            "win AS (SELECT doc_id, i, "
+            "md5(array_to_string(w[i:i+7], ' ')) AS h "
+            "FROM ws, unnest(generate_series(1, greatest(len(w) - 7, 0))) "
+            "AS t(i)), "
+            "dup AS (SELECT h FROM win GROUP BY h HAVING count(*) >= 2), "
+            "d AS (SELECT win.doc_id, win.i FROM win JOIN dup USING (h)), "
+            "isl AS (SELECT doc_id, i, sum(CASE WHEN prev IS NULL OR "
+            "i > prev + 8 THEN 1 ELSE 0 END) OVER "
+            "(PARTITION BY doc_id ORDER BY i) AS island FROM "
+            "(SELECT doc_id, i, lag(i) OVER "
+            "(PARTITION BY doc_id ORDER BY i) AS prev FROM d)) "
+            "SELECT doc_id, min(i)::INT AS span_start, "
+            "(max(i) + 7)::INT AS span_end, count(*)::BIGINT AS n_windows "
+            "FROM isl GROUP BY doc_id, island"
         ),
         "q_minhash_sig": (
             f"SELECT doc_id, array_to_string(list_transform(generate_series(0, 3), "

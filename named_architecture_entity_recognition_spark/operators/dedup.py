@@ -494,3 +494,113 @@ def minhash_signatures_df(
     return docs.select("doc_id", text_col).mapInPandas(
         process, schema=f"doc_id {doc_type}, sig array<string>"
     )
+
+
+def dup_span_intervals(
+    docs: DataFrame,
+    window: int = 6,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-SPAN detection at W-token window granularity —
+    the scalable Spark shape of ExactSubstr dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): the
+    doc-level dedups above miss the boilerplate/quotation spans that
+    recur inside otherwise-unique documents, which is exactly what
+    span-level dedup removes before LM training.
+
+    Every length-``window`` token run is hashed (md5 of the
+    space-joined lowercased tokens — engine-portable, DuckDB recomputes
+    it byte-identically); a window whose hash occurs >= ``min_count``
+    times CORPUS-WIDE (self-repeats inside one doc count, as in
+    ExactSubstr) marks a duplicated span. Per doc, overlapping or
+    adjacent duplicated windows are merged into maximal intervals.
+
+    Returns (doc_id, span_start, span_end, n_windows): 1-indexed
+    inclusive TOKEN interval bounds of each merged duplicated span and
+    the number of duplicated windows it absorbed. Callers drop or mask
+    ``tokens[span_start..span_end]`` to clean the corpus.
+
+    Scale shape (100 TB): window explosion is a narrow per-row map
+    (O(tokens) rows, no shuffle); the hash count is ONE partial-agg
+    groupBy (map-side combined — a boilerplate window occurring 10^9
+    times arrives at its reducer as per-partition partial counts, never
+    raw rows); the join back re-attaches each window row exactly once
+    (dup-hash side is distinct, so no fan-out; AQE broadcasts it when
+    the dup vocabulary is small); interval merging is a per-doc
+    hash agg + one O(n) ``aggregate`` fold over the sorted starts —
+    pure Catalyst, no Window operator, no Python anywhere.
+    """
+    w = _words(text_col)
+    n_win = F.greatest(F.size(w) - (window - 1), F.lit(0))
+    idx = F.when(n_win > 0, F.sequence(F.lit(1), n_win)).otherwise(
+        F.array().cast("array<int>")
+    )
+    win_hash = lambda i: F.md5(  # noqa: E731
+        F.concat_ws(" ", *[F.element_at(w, i + k) for k in range(window)])
+    )
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx, lambda i: F.struct(i.alias("i"), win_hash(i).alias("h"))
+            )
+        ).alias("win"),
+    ).select("doc_id", "win.i", "win.h")
+
+    dup_hashes = (
+        wins.groupBy("h")
+        .count()
+        .filter(F.col("count") >= min_count)
+        .select("h")
+    )
+
+    starts = (
+        wins.join(dup_hashes, "h")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("i")).alias("starts"))
+    )
+
+    # one-pass interval merge over the ascending starts: extend the last
+    # interval while the next window overlaps or touches it (same-width
+    # windows make the running end monotonic, so comparing against the
+    # LAST interval is sufficient)
+    acc0 = F.array().cast("array<struct<s:int,e:int,c:int>>")
+    last = lambda a: F.element_at(a, -1)  # noqa: E731
+    merged = F.aggregate(
+        F.col("starts"),
+        acc0,
+        lambda acc, i: F.when(
+            (F.size(acc) > 0) & (i <= last(acc)["e"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        last(acc)["s"].alias("s"),
+                        (i + window - 1).alias("e"),
+                        (last(acc)["c"] + 1).alias("c"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        i.alias("s"),
+                        (i + window - 1).alias("e"),
+                        F.lit(1).alias("c"),
+                    )
+                ),
+            )
+        ),
+    )
+    return (
+        starts.select("doc_id", F.explode(merged).alias("m"))
+        .select(
+            "doc_id",
+            F.col("m.s").alias("span_start"),
+            F.col("m.e").alias("span_end"),
+            F.col("m.c").cast("long").alias("n_windows"),
+        )
+    )

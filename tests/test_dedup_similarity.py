@@ -535,3 +535,85 @@ def test_int8_topk_no_python_in_plan(spark, embeddings):
     )
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in simple, simple
+
+
+def test_dup_span_intervals_merges_and_counts(spark):
+    """ExactSubstr-shape span dedup: shared boilerplate is found in
+    every doc containing it, overlapping windows merge into one maximal
+    interval, a self-repeating doc is fully covered, and clean/short
+    docs emit nothing."""
+    from named_architecture_entity_recognition_spark.operators.dedup import (
+        dup_span_intervals,
+    )
+
+    boiler = "subscribe to our newsletter for updates every week"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            ("d1", f"alpha beta {boiler} gamma delta"),
+            ("d2", f"one two three {boiler} four five"),
+            ("d3", "totally unique text with no duplicated runs here at all"),
+            ("d4", "x " * 20),  # 20 identical tokens: self-duplicating
+            ("d5", "short doc"),
+        ],
+        "doc_id string, text string",
+    )
+    rows = {
+        r.doc_id: (r.span_start, r.span_end, r.n_windows)
+        for r in dup_span_intervals(docs, window=6).collect()
+    }
+    # d1: boiler occupies tokens 3..10 -> windows start at 3,4,5 (all
+    # inside the shared 8-token run), merged to [3, 10]
+    assert rows["d1"] == (3, 10, 3)
+    assert rows["d2"] == (4, 11, 3)
+    # d4: every window duplicated (all-identical tokens) -> one full span
+    assert rows["d4"] == (1, 20, 15)
+    assert "d3" not in rows and "d5" not in rows
+
+
+def test_dup_span_intervals_splits_disjoint_runs(spark):
+    """Two duplicated runs separated by enough unique tokens stay two
+    intervals; runs closer than a window width merge (overlap-or-
+    adjacent rule)."""
+    from named_architecture_entity_recognition_spark.operators.dedup import (
+        dup_span_intervals,
+    )
+
+    run_a = "aa bb cc"
+    run_b = "dd ee ff"
+    docs = spark.createDataFrame(
+        [
+            # far apart: u1..u5 unique spacers -> two intervals
+            ("far", f"{run_a} u1 u2 u3 u4 u5 {run_b}"),
+            ("src", f"{run_a} zz1 zz2 zz3 zz4 zz5 zz6 zz7 {run_b}"),
+        ],
+        "doc_id string, text string",
+    )
+    out = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dup_span_intervals(docs, window=3).collect()
+    )
+    assert ("far", 1, 3) in out and ("far", 9, 11) in out
+    # src: run_a = tokens 1-3, 7 spacers, run_b = tokens 11-13
+    assert ("src", 1, 3) in out and ("src", 11, 13) in out
+    # no interval spans the unique middle of either doc
+    assert all(not (s <= 5 <= e) for (_, s, e) in out)
+
+
+def test_dup_span_intervals_plan_is_pure_catalyst(spark):
+    """No Python evaluation and no Window operator anywhere in the
+    plan: narrow window-hash map, one partial-agg count, equi-join,
+    per-doc hash agg + fold."""
+    from named_architecture_entity_recognition_spark.operators.dedup import (
+        dup_span_intervals,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", "w1 w2 w3 w4")], "doc_id string, text string"
+    )
+    out = dup_span_intervals(docs, window=3)
+    simple = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "Window"):
+        assert marker not in simple, simple
