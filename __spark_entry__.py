@@ -362,6 +362,21 @@ def _q_dup_spans(spark, sf):
     return dup_span_intervals(docs, window=8, min_count=2)
 
 
+def _q_remove_dup_spans(spark, sf):
+    """The ExactSubstr ACTION step: documents with every duplicated
+    8-token interval cut out (operators/dedup.remove_dup_spans); the
+    oracle recomputes the cuts and the position filter in DuckDB."""
+    from named_architecture_entity_recognition_spark.operators.dedup import (
+        remove_dup_spans,
+    )
+
+    docs = _read(spark, sf, "documents")
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+    return remove_dup_spans(docs, window=8, min_count=2)
+
+
 def _q_minhash_sig(spark, sf):
     from named_architecture_entity_recognition_spark.operators.dedup import (
         minhash_signature,
@@ -2015,6 +2030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hist_quantiles": _q_hist_quantiles,
         "q_exact_dedup": _q_exact_dedup,
         "q_dup_spans": _q_dup_spans,
+        "q_remove_dup_spans": _q_remove_dup_spans,
         "q_minhash_sig": _q_minhash_sig,
         "q_lsh_pairs": _q_lsh_pairs,
         "q_dup_clusters": _q_dup_clusters,
@@ -2280,6 +2296,39 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, min(i)::INT AS span_start, "
             "(max(i) + 7)::INT AS span_end, count(*)::BIGINT AS n_windows "
             "FROM isl GROUP BY doc_id, island"
+        ),
+        "q_remove_dup_spans": (
+            # compose the q_dup_spans cuts with a position filter: every
+            # token whose 1-based index falls inside a duplicated
+            # interval is dropped, remainder re-joined with spaces
+            "WITH ws AS (SELECT doc_id, "
+            "string_split_regex(trim(lower(text)), '\\s+') AS w "
+            "FROM documents), "
+            "win AS (SELECT doc_id, i, "
+            "md5(array_to_string(w[i:i+7], ' ')) AS h "
+            "FROM ws, unnest(generate_series(1, greatest(len(w) - 7, 0))) "
+            "AS t(i)), "
+            "dup AS (SELECT h FROM win GROUP BY h HAVING count(*) >= 2), "
+            "d AS (SELECT win.doc_id, win.i FROM win JOIN dup USING (h)), "
+            "isl AS (SELECT doc_id, i, sum(CASE WHEN prev IS NULL OR "
+            "i > prev + 8 THEN 1 ELSE 0 END) OVER "
+            "(PARTITION BY doc_id ORDER BY i) AS island FROM "
+            "(SELECT doc_id, i, lag(i) OVER "
+            "(PARTITION BY doc_id ORDER BY i) AS prev FROM d)), "
+            "cuts AS (SELECT doc_id, "
+            "flatten(list(range_list)) AS rm FROM "
+            "(SELECT doc_id, generate_series(min(i), max(i) + 7) "
+            "AS range_list FROM isl GROUP BY doc_id, island) "
+            "GROUP BY doc_id), "
+            "j AS (SELECT ws.doc_id, ws.w, coalesce(cuts.rm, []) AS rm "
+            "FROM ws LEFT JOIN cuts ON ws.doc_id = cuts.doc_id) "
+            # coalesce: DuckDB array_to_string([]) is NULL, Spark
+            # concat_ws of an empty array is ''
+            "SELECT doc_id, coalesce(array_to_string(list_filter(w, "
+            "(t, i) -> NOT list_contains(rm, i)), ' '), '') AS clean_text, "
+            "(len(w) - len(list_filter(w, "
+            "(t, i) -> NOT list_contains(rm, i))))::BIGINT "
+            "AS n_tokens_removed FROM j"
         ),
         "q_minhash_sig": (
             f"SELECT doc_id, array_to_string(list_transform(generate_series(0, 3), "

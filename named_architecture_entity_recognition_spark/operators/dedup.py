@@ -604,3 +604,55 @@ def dup_span_intervals(
             F.col("m.c").cast("long").alias("n_windows"),
         )
     )
+
+
+def remove_dup_spans(
+    docs: DataFrame,
+    window: int = 6,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """The ACTION step of span-level dedup: rebuild each document's
+    text with every duplicated interval (dup_span_intervals) cut out —
+    ExactSubstr's "drop the duplicated substring, keep the remainder"
+    (Lee et al. 2022 §3.2). Tokens are the lowercased whitespace tokens
+    the detector hashed, re-joined with single spaces (span dedup is a
+    pre-tokenization cleaning pass; original inter-token whitespace is
+    not preserved, exactly like the reference implementation's
+    byte-offset cuts re-joined at sequence level).
+
+    Returns (doc_id, clean_text, n_tokens_removed). Docs with no
+    duplicated spans pass through with n_tokens_removed = 0 (LEFT join
+    — the intervals side only carries affected docs).
+
+    Scale shape: dup_span_intervals' plan plus ONE per-doc interval
+    aggregation and a LEFT equi-join back to the docs table on doc_id;
+    the position filter is a per-row HOF over (tokens x intervals),
+    and intervals per doc are few by construction (merged maximal)."""
+    spans = (
+        dup_span_intervals(docs, window, min_count, text_col)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias(
+                "cuts"
+            )
+        )
+    )
+    w = _words(text_col)
+    out = docs.join(spans, "doc_id", "left")
+    cuts = F.coalesce(
+        F.col("cuts"),
+        F.array().cast("array<struct<span_start:int,span_end:int>>"),
+    )
+    kept = F.filter(
+        w,
+        lambda t, i: ~F.exists(
+            cuts,
+            lambda c: (i + 1 >= c["span_start"]) & (i + 1 <= c["span_end"]),
+        ),
+    )
+    return out.select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        (F.size(w) - F.size(kept)).cast("long").alias("n_tokens_removed"),
+    )

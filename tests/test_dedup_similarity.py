@@ -617,3 +617,38 @@ def test_dup_span_intervals_plan_is_pure_catalyst(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                    "Window"):
         assert marker not in simple, simple
+
+
+def test_remove_dup_spans_cuts_exactly_the_intervals(spark):
+    """clean_text == original tokens minus the detected intervals, in
+    order; clean docs pass through untouched (n_tokens_removed = 0)."""
+    from named_architecture_entity_recognition_spark.operators.dedup import (
+        dup_span_intervals,
+        remove_dup_spans,
+    )
+
+    boiler = "subscribe to our newsletter for updates every week"
+    docs = spark.createDataFrame(
+        [
+            ("d1", f"alpha beta {boiler} gamma delta"),
+            ("d2", f"one two three {boiler} four five"),
+            ("d3", "totally unique text with no duplicated runs here"),
+        ],
+        "doc_id string, text string",
+    )
+    spans = {}
+    for r in dup_span_intervals(docs, window=6).collect():
+        spans.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens_removed)
+        for r in remove_dup_spans(docs, window=6).collect()
+    }
+    for doc_id, text in [(r.doc_id, r.text) for r in docs.collect()]:
+        toks = text.strip().lower().split()
+        cuts = spans.get(doc_id, [])
+        kept = [
+            t for i, t in enumerate(toks, start=1)
+            if not any(s <= i <= e for s, e in cuts)
+        ]
+        assert got[doc_id] == (" ".join(kept), len(toks) - len(kept)), doc_id
+    assert got["d3"][1] == 0 and got["d3"][0] == "totally unique text with no duplicated runs here"
