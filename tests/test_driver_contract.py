@@ -58,8 +58,15 @@ def test_oracle_keys_match_queries():
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
 def test_query_is_lazy_and_well_formed(spark, name):
-    """Building the DataFrame (no execution) must succeed at sf0.001 —
-    catches schema drift against the driver tables early."""
+    """Building the DataFrame (no DELIBERATE execution) must succeed at
+    sf0.001 — catches schema drift against the driver tables early.
+    Caveat (ADVICE r4): this cannot mechanically detect an eager
+    .collect() at build time — every spark.read.parquet runs small
+    schema-inference jobs, so job-count deltas don't discriminate; the
+    one eager builder that existed (q_audio_decode) was fixed at the
+    source (_synth_media_df synthesizes bytes inside mapInPandas).
+    Iterative operators (CC/PageRank/IVF seeding) legitimately execute
+    during build by design."""
     df = entrymod.queries()[name](spark, SF)
     assert len(df.columns) > 0
 
