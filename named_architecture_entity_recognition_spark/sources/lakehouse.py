@@ -132,3 +132,46 @@ def compact_table(
         "files_out": len(out_files),
         "n_rows": spark.read.parquet(target).count(),
     }
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table BUCKETED (and sorted) by its join key — the
+    co-located-join layout for tables that are repeatedly joined on the
+    same key (facts x facts: events x sessions, triples x triples for
+    CC, postings x postings). Two tables bucketed by the same key into
+    the same bucket count join with ZERO Exchange: at 100 TB that
+    deletes the single most expensive stage of every repeated join
+    (proof: test_sources.py asserts the bucketed sort-merge join plans
+    no Exchange while the identical unbucketed join plans one, and
+    that an equality filter prunes the scan to one bucket). The
+    partition-local Sort remains by default — Spark only trusts
+    per-file sortBy order under
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering`` (SPARK-28595)
+    — but it is shuffle-free and spills never cross tasks.
+
+    Spark-native bucketing (works on the built-in catalog, no Hive):
+    ``bucketBy(n, key).sortBy(key).saveAsTable``. On Iceberg the same
+    layout is declared as a ``bucket(n, key)`` partition transform +
+    write-ordering — the jar-gated branch of this module's sink."""
+    # align writer partitions with buckets (same Murmur3 hash, same N):
+    # each task then holds exactly one bucket -> ONE file per bucket,
+    # which lets the scan trust the per-file sortBy order and the join
+    # drop its Sort nodes too (multi-file buckets only guarantee
+    # per-file order, so Spark would re-sort)
+    w = (
+        df.repartition(n_buckets, F.col(key))
+        .write.format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .mode(mode)
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

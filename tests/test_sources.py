@@ -183,3 +183,63 @@ def test_compact_table_preserves_rows_and_reduces_files(spark, tmp_path):
     a = spark.read.parquet(src).select("id", "payload")
     b = spark.read.parquet(dst).select("id", "payload")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_bucketed_join_plans_no_exchange(spark, tmp_path):
+    """Co-located join layout (write_bucketed): two tables bucketed by
+    the same key into the same bucket count sort-merge-join with ZERO
+    Exchange (the identical unbucketed join plans one), results are
+    identical, and an equality filter prunes the scan to a single
+    bucket — the three properties that make bucketing pay at 100 TB."""
+    from named_architecture_entity_recognition_spark.sources.lakehouse import (
+        write_bucketed,
+    )
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 5000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+        )
+        b = spark.range(0, 5000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+        )
+        write_bucketed(a, "bkt_a", "k", 8, path=str(tmp_path / "bkt_a"))
+        write_bucketed(b, "bkt_b", "k", 8, path=str(tmp_path / "bkt_b"))
+
+        j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "simple"
+        )
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan
+
+        uj = a.join(b, "k")
+        uplan = uj._sc._jvm.PythonSQLUtils.explainString(
+            uj._jdf.queryExecution(), "simple"
+        )
+        assert "Exchange" in uplan
+
+        assert sorted(map(tuple, j.collect())) == sorted(
+            map(tuple, uj.collect())
+        )
+
+        # bucket pruning: an equality filter scans 1 of 8 buckets.
+        # autoBucketedScan turns bucketed reading off when no operator
+        # needs the distribution, which also forfeits pruning — a real
+        # point-lookup job disables it exactly like this
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        f = spark.table("bkt_a").filter(F.col("k") == 42)
+        fplan = f._sc._jvm.PythonSQLUtils.explainString(
+            f._jdf.queryExecution(), "simple"
+        )
+        assert "SelectedBucketsCount: 1 out of 8" in fplan, fplan
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
