@@ -220,6 +220,13 @@ def run_bench(sf_dir: str, cpus: str, n_synth_docs: int | None = None):
     extras["docgaz_rows_match"] = _counts["clo"] == _counts["join"]
     extras["docgaz_overhead_x"] = round(t_join / max(t_clo, 1e-9), 2)
 
+    # --- span-level dedup (new r5, extras only): ExactSubstr-shape
+    # duplicated-interval detection over the driver documents table
+    extras["dup_spans_sec"] = round(
+        timed("dup_spans", lambda: qs["q_dup_spans"](spark, sf_dir).count()),
+        3,
+    )
+
     # --- whale-user funnel (VERDICT r3 #9, extras only): one synthetic
     # user holds ~10% of all events; the two-phase salted collect
     # (skew.py) must match the unsalted plan's results and not lose to
