@@ -652,3 +652,63 @@ def test_remove_dup_spans_cuts_exactly_the_intervals(spark):
         ]
         assert got[doc_id] == (" ".join(kept), len(toks) - len(kept)), doc_id
     assert got["d3"][1] == 0 and got["d3"][0] == "totally unique text with no duplicated runs here"
+
+
+def test_dup_span_intervals_matches_bruteforce_on_random_corpus(spark):
+    """Randomized differential test (seeded): on a 150-doc corpus with
+    a small vocabulary (lots of accidental window collisions), the
+    Catalyst plan's intervals equal a plain-Python brute force —
+    every duplicated window start covered, interval bounds and window
+    counts identical."""
+    import numpy as np
+
+    from named_architecture_entity_recognition_spark.operators.dedup import (
+        dup_span_intervals,
+    )
+
+    rng = np.random.RandomState(1234)
+    W = 4
+    vocab = [f"t{k}" for k in range(12)]  # tiny vocab -> many dups
+    texts = {}
+    for d in range(150):
+        n = int(rng.randint(0, 30))  # includes docs shorter than W
+        texts[f"d{d:03d}"] = " ".join(
+            vocab[int(i)] for i in rng.randint(0, len(vocab), size=n)
+        )
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id string, text string"
+    )
+
+    # brute force: global window counts, then per-doc merged intervals
+    from collections import Counter
+
+    counts = Counter()
+    for t in texts.values():
+        w = t.split()
+        for i in range(len(w) - W + 1):
+            counts[" ".join(w[i:i + W])] += 1
+    expected = set()
+    for doc_id, t in texts.items():
+        w = t.split()
+        starts = [
+            i + 1
+            for i in range(len(w) - W + 1)
+            if counts[" ".join(w[i:i + W])] >= 2
+        ]
+        cur = None
+        for i in starts:
+            if cur and i <= cur[1] + 1:
+                cur = (cur[0], i + W - 1, cur[2] + 1)
+            else:
+                if cur:
+                    expected.add((doc_id, *cur))
+                cur = (i, i + W - 1, 1)
+        if cur:
+            expected.add((doc_id, *cur))
+
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in dup_span_intervals(docs, window=W).collect()
+    }
+    assert got == expected
+    assert len(expected) > 50  # the fixture must be dup-dense
